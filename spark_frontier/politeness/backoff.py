@@ -1,0 +1,165 @@
+"""Per-host backoff / blocking state as data (T2/T3, SURVEY.md §2.4).
+
+Reference: /root/reference/src/crawler/backoff.py:51-113 — per-host
+consecutive-failure counter, exponential wait ``factor**n``, a sliding
+window of the last 10 HTTP codes, and host BLOCKING when ≥5 of the last 10
+are in {403, 429}; success resets the counter. Plus
+/root/reference/src/crawler/rate_limiter.py:97-112 — on 429: 60 s cooldown
+and refill-rate halving with floor 0.1.
+
+The reference keeps all this in RAM and loses it on restart
+(rate_limiter.py:16-24, backoff.py:16-23); per north_rule resumability we
+keep it as a host-state TABLE merged once per batch and checkpointed.
+
+Everything is JVM-side array/aggregate expressions — the last-10 window is
+``slice(concat(old, new), -10, 10)``, the trailing-failure run length is a
+``aggregate(reverse(codes), ...)`` fold — no Python in the update path.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOCK_THRESHOLD = 5  # backoff.py:34
+BLOCKING_CODES = (403, 429)  # backoff.py:37
+WINDOW = 10  # backoff.py:82
+BACKOFF_FACTOR = 2.0  # config/sites.yaml:10
+from spark_frontier.politeness.ratelimit import (  # noqa: E402
+    DEFAULT_REFILL_RATE,
+    MIN_REFILL_RATE,
+    RATE_LIMIT_COOLDOWN_S,
+)
+
+HOST_STATE_COLS = [
+    "host",
+    "refill_rate",
+    "rate_limit_until",
+    "last_fetch_ts",
+    "consecutive_failures",
+    "recent_codes",
+    "is_blocked",
+]
+
+
+def empty_host_state(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "host string, refill_rate double, rate_limit_until timestamp, "
+        "last_fetch_ts timestamp, consecutive_failures int, "
+        "recent_codes array<int>, is_blocked boolean",
+    )
+
+
+def update_host_state(
+    host_state: DataFrame,
+    fetch_results: DataFrame,
+    batch_ts: datetime,
+) -> DataFrame:
+    """Fold one batch of fetch results into the host-state table.
+
+    fetch_results: (host, politeness_deadline, http_code) — per-host codes
+    are folded in deadline order (the launch order, SURVEY §3), matching
+    the reference's sequential record_failure/record_success calls.
+    Returns the full NEW host-state table (merge it into the SnapTable).
+    """
+    per_host = fetch_results.groupBy("host").agg(
+        F.array_sort(
+            F.collect_list(F.struct("politeness_deadline", "http_code"))
+        ).alias("_ordered"),
+        F.max("politeness_deadline").alias("batch_last_fetch_ts"),
+    ).select(
+        "host",
+        F.transform(F.col("_ordered"), lambda s: s["http_code"]).alias("new_codes"),
+        "batch_last_fetch_ts",
+    )
+
+    merged = per_host.join(host_state, on="host", how="full_outer")
+
+    # Fold the batch's ordered codes into the carried state — EXACTLY the
+    # reference's record_success/record_failure sequence (backoff.py:51-89):
+    #   success       → failure_codes=[], consecutive_failures=0, unblock
+    #   failure       → append code; if code∈{403,429} and ≥5 of the last 10
+    #                   recorded failure codes are blocking codes → block
+    # failure_codes only ever holds FAILURE codes (cleared on success), and
+    # only the last 10 are ever inspected, so trimming inside the fold is
+    # semantics-preserving.
+    is_success = lambda c: (c >= 200) & (c < 400)  # noqa: E731
+    init = F.struct(
+        F.coalesce(F.col("recent_codes"), F.array().cast("array<int>")).alias("codes"),
+        F.coalesce(F.col("consecutive_failures"), F.lit(0)).alias("cf"),
+        F.coalesce(F.col("is_blocked"), F.lit(False)).alias("blocked"),
+    )
+    new_codes = F.coalesce(F.col("new_codes"), F.array().cast("array<int>"))
+    folded = F.aggregate(
+        new_codes,
+        init,
+        lambda acc, c: F.when(
+            is_success(c),
+            F.struct(
+                F.array().cast("array<int>").alias("codes"),
+                F.lit(0).alias("cf"),
+                F.lit(False).alias("blocked"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.slice(
+                    F.concat(acc["codes"], F.array(c)), -WINDOW, WINDOW
+                ).alias("codes"),
+                (acc["cf"] + 1).alias("cf"),
+                (
+                    acc["blocked"]
+                    | (
+                        c.isin(*BLOCKING_CODES)
+                        & (
+                            F.size(
+                                F.filter(
+                                    F.slice(
+                                        F.concat(acc["codes"], F.array(c)),
+                                        -WINDOW,
+                                        WINDOW,
+                                    ),
+                                    lambda x: x.isin(*BLOCKING_CODES),
+                                )
+                            )
+                            >= F.lit(BLOCK_THRESHOLD)
+                        )
+                    )
+                ).alias("blocked"),
+            )
+        ),
+    )
+
+    got_429 = F.exists(new_codes, lambda c: c == 429)
+    old_rate = F.coalesce(F.col("refill_rate"), F.lit(DEFAULT_REFILL_RATE))
+    new_rate = F.when(
+        got_429, F.greatest(F.lit(MIN_REFILL_RATE), old_rate * F.lit(0.5))
+    ).otherwise(old_rate)
+    new_rl_until = F.when(
+        got_429,
+        F.lit(batch_ts) + F.lit(RATE_LIMIT_COOLDOWN_S) * F.expr("INTERVAL 1 SECOND"),
+    ).otherwise(F.col("rate_limit_until"))
+
+    return merged.withColumn("_st", folded).select(
+        "host",
+        new_rate.alias("refill_rate"),
+        new_rl_until.alias("rate_limit_until"),
+        F.coalesce(F.col("batch_last_fetch_ts"), F.col("last_fetch_ts")).alias(
+            "last_fetch_ts"
+        ),
+        F.col("_st")["cf"].cast("int").alias("consecutive_failures"),
+        F.col("_st")["codes"].alias("recent_codes"),
+        F.col("_st")["blocked"].alias("is_blocked"),
+    )
+
+
+def blocked_hosts(host_state: DataFrame) -> DataFrame:
+    """F10: the blocked-host gate is a left_anti join against this."""
+    return host_state.filter(F.col("is_blocked")).select("host")
+
+
+def backoff_wait_s(consecutive_failures_col) -> F.Column:
+    """wait = factor**n (backoff.py:100-101)."""
+    return F.pow(F.lit(BACKOFF_FACTOR), consecutive_failures_col.cast("double"))

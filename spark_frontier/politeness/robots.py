@@ -1,0 +1,128 @@
+"""robots.txt rules as a broadcast join (T7, SURVEY.md §2.4).
+
+Reference: /root/reference/src/crawler/robots_handler.py:41-140 — fetches
+``https://host/robots.txt``, parses with urllib's RobotFileParser, caches
+per-domain, allows-all on non-200/fetch error, and extracts ``Crawl-delay``.
+
+Spark shape (north_rule: "robots.txt rule caching materialized as a
+broadcast join"): robots documents parse once per host into a small rules
+table ``(host, rule_pos, pattern, allow, crawl_delay)``; the frontier
+broadcast-joins it and the verdict is computed with JVM-side expressions —
+first matching rule in file order wins, which is exactly
+``urllib.robotparser`` semantics for the ``*`` agent (prefix match on the
+path, rules evaluated in document order, allow-all when no rule matches or
+no robots.txt exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RULES_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("rule_pos", IntegerType()),
+        StructField("pattern", StringType()),
+        StructField("allow", BooleanType()),
+        StructField("crawl_delay", DoubleType()),
+    ]
+)
+
+
+def parse_robots_txt(host: str, content: str | None) -> list[dict]:
+    """Parse one robots.txt into rule rows for the ``*`` user-agent group.
+
+    Mirrors urllib.robotparser's model: rules apply to the longest matching
+    agent group; we keep only the ``*`` group (the reference always checks
+    agent "*" — robots_handler.py:116). Missing/unfetchable robots → no
+    rows → allow-all at join time (robots_handler.py:73-84).
+    """
+    rules: list[dict] = []
+    if not content:
+        return rules
+    crawl_delay: float | None = None
+    in_star_group = False
+    seen_star_rules = False
+    pos = 0
+    for raw_line in content.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if seen_star_rules:
+                in_star_group = False  # a later group starts; * group closed
+            else:
+                in_star_group = val == "*"
+        elif key in ("allow", "disallow") and in_star_group:
+            seen_star_rules = True
+            allow = key == "allow"
+            if val == "" and not allow:
+                continue  # empty Disallow = allow everything → no rule
+            rules.append(
+                {"host": host, "rule_pos": pos, "pattern": val, "allow": allow,
+                 "crawl_delay": None}
+            )
+            pos += 1
+        elif key == "crawl-delay" and in_star_group:
+            try:
+                crawl_delay = float(val)
+            except ValueError:
+                pass
+    if crawl_delay is not None:
+        for r in rules:
+            r["crawl_delay"] = crawl_delay
+        if not rules:
+            rules.append({"host": host, "rule_pos": 0, "pattern": "",
+                          "allow": True, "crawl_delay": crawl_delay})
+    return rules
+
+
+def build_rules_df(spark, robots_docs: list[tuple[str, str | None]]) -> DataFrame:
+    rows = []
+    for host, content in robots_docs:
+        rows.extend(parse_robots_txt(host, content))
+    return spark.createDataFrame(rows, RULES_SCHEMA) if rows else spark.createDataFrame([], RULES_SCHEMA)
+
+
+def robots_allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """Annotate frontier with ``robots_allowed`` and ``crawl_delay``.
+
+    ZERO frontier shuffles: rules collapse to one array-of-structs row per
+    host (ordered by rule_pos), broadcast-joined onto the frontier; the
+    first-match verdict is a JVM higher-order ``filter(...)[0]`` over the
+    ordered array — urllib.robotparser's first-matching-rule-in-file-order
+    semantics, whole-stage-codegen'd, no Python.
+    """
+    host_rules = rules.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rule_pos", "pattern", "allow"))
+        ).alias("_rules"),
+        F.max("crawl_delay").alias("crawl_delay"),
+    )
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    first_match = F.get(  # null-safe: no matching rule → NULL → allow
+        F.filter(
+            F.col("_rules"),
+            lambda r: (r["pattern"] == F.lit("")) | path.startswith(r["pattern"]),
+        ),
+        0,
+    )
+    return (
+        frontier.join(F.broadcast(host_rules), on="host", how="left")
+        .withColumn(
+            "robots_allowed",
+            F.coalesce(first_match["allow"], F.lit(True)),
+        )
+        .drop("_rules")
+    )

@@ -1,0 +1,130 @@
+"""Recursive sitemap-index expansion (F1) — distributed BFS with a seen-set.
+
+Reference: /root/reference/src/sitemap/tracker.py:31-71 — a worklist BFS
+over the sitemap tree with a ``processed`` set for cycle safety, collecting
+url-entries in sitemap document order.
+
+Spark shape: a driver-side fixpoint loop (one job per tree level — sitemap
+trees are shallow, ≤ ~5 levels in practice); each level
+  fetch (join vs the page table / fetch UDF) → parse (Arrow cascade)
+  → split index-rows from url-rows → anti-join the processed set
+  → enqueue children.
+Every per-level DataFrame is localCheckpoint()ed to truncate lineage so the
+loop does not build an ever-deeper plan.
+
+ORDERING CONTRACT (SURVEY.md §3): the reference appends children to the end
+of its worklist, so sitemaps are processed in BFS level order, within a
+level in (parent order, child position) order, and entries within a sitemap
+in document order. We materialize that as orderable columns
+``(site_seq, depth, path array<long>, sitemap_pos)`` — ``path`` is the
+child-position chain from the root, arrays compare lexicographically in
+Spark — which sorts identically to the reference's collection order without
+ever needing a per-site global row_number (which would single-partition a
+site at 10^10 scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_frontier.sitemap.parser import parse_sitemaps
+
+
+def expand_sitemap_tree(
+    seeds: DataFrame,
+    pages: DataFrame,
+    max_depth: int = 10,
+) -> DataFrame:
+    """BFS-expand sitemap trees for every seed.
+
+    seeds: (site_id string, site_seq int, sitemap_url string)
+    pages: (sitemap_url string, content binary, http_code int) — the
+        hermetic "web" table; in live mode substitute a mapInPandas
+        fetcher producing the same shape (see fetch/fetcher.py).
+
+    Returns url-entries with ordering + lineage columns:
+    (site_id, site_seq, depth, path, sitemap_url, loc, lastmod, changefreq,
+     priority, news_title, news_publication_date, news_publication_name,
+     sitemap_pos, parse_mode)
+    """
+    spark = seeds.sparkSession
+    worklist = (
+        seeds.select(
+            "site_id",
+            "site_seq",
+            "sitemap_url",
+            F.lit(0).alias("depth"),
+            F.array().cast("array<long>").alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # processed seen-set (tracker.py:49-51) — cycle safety
+    processed = worklist.select("sitemap_url").localCheckpoint(eager=True)
+    results: list[DataFrame] = []
+
+    for depth in range(max_depth):
+        if worklist.isEmpty():
+            break
+        docs = worklist.join(pages, on="sitemap_url", how="inner").filter(
+            (F.col("http_code") == 200) | F.col("http_code").isNull()
+        )
+        parsed = parse_sitemaps(docs.select("sitemap_url", "content"))
+        # re-attach lineage (site, depth, path) lost through the parse UDF
+        entries = parsed.join(
+            F.broadcast(
+                worklist.select("sitemap_url", "site_id", "site_seq", "depth", "path")
+            ),
+            on="sitemap_url",
+            how="inner",
+        )
+        url_rows = entries.filter(~F.col("is_index")).drop("is_index")
+        results.append(url_rows.localCheckpoint(eager=True))
+
+        children = (
+            entries.filter(F.col("is_index"))
+            .select(
+                "site_id",
+                "site_seq",
+                F.col("loc").alias("sitemap_url"),
+                (F.col("depth") + 1).alias("depth"),
+                F.concat(F.col("path"), F.array(F.col("sitemap_pos"))).alias("path"),
+            )
+            .join(processed, on="sitemap_url", how="left_anti")
+            .dropDuplicates(["sitemap_url"])
+        )
+        worklist = children.localCheckpoint(eager=True)
+        processed = (
+            processed.unionByName(worklist.select("sitemap_url"))
+            .localCheckpoint(eager=True)
+        )
+
+    if not results:
+        return _empty_entries(spark)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _empty_entries(spark) -> DataFrame:
+    from spark_frontier.sitemap.parser import ENTRY_SCHEMA
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
+
+    fields = [f for f in ENTRY_SCHEMA.fields if f.name != "is_index"]
+    schema = StructType(
+        fields
+        + [
+            StructField("site_id", StringType()),
+            StructField("site_seq", IntegerType()),
+            StructField("depth", IntegerType()),
+            StructField("path", ArrayType(LongType())),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def entry_order_key_cols() -> list:
+    """The columns that, ordered ascending, reproduce the reference's
+    per-site entry collection order (BFS levels, then path, then doc pos)."""
+    return [F.col("depth"), F.col("path"), F.col("sitemap_pos")]

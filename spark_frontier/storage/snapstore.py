@@ -1,0 +1,183 @@
+"""Snapshot-manifest table format: Iceberg semantics over plain parquet.
+
+The sandbox has no Iceberg runtime jar, so this module provides the subset
+of Iceberg behavior the engine needs — atomic snapshot commits, MERGE-style
+upsert, row-level DELETE, and resume-from-last-committed-snapshot — as a
+small manifest layer over parquet files. On a real cluster the same call
+sites map directly onto Iceberg SQL:
+
+    SnapTable.append(df)          -> df.writeTo(tbl).append()
+    SnapTable.merge(df, keys)     -> MERGE INTO tbl USING batch ON keys ...
+    SnapTable.delete_where(pred)  -> DELETE FROM tbl WHERE pred
+    SnapTable.read(spark)         -> spark.read.format("iceberg").load(tbl)
+    SnapTable.snapshot_id         -> Iceberg snapshot id (time travel/resume)
+
+Layout per table::
+
+    <root>/<name>/
+        data/<snapshot-id>/part-*.parquet     immutable data files
+        snapshots/<snapshot-id>.json          manifest: file list + summary
+        HEAD                                  current snapshot id (atomic swap)
+
+A commit writes new data files, writes the manifest, then atomically
+replaces HEAD (``os.replace``). Readers only ever see a fully committed
+snapshot; a killed writer leaves HEAD untouched, so resume = read HEAD.
+The ``summary`` dict on each snapshot carries per-batch lineage counters
+(the north_rule's "per-partition fetch lineage + counters checkpoint").
+
+Scale note: ``merge``/``delete_where`` here rewrite the table
+copy-on-write, which is exactly Iceberg's COW mode; at 10^10-row frontier
+scale you would flip the real Iceberg table to merge-on-read (positional
+deletes) — the call sites do not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapTable:
+    def __init__(self, root: str, name: str):
+        self.path = os.path.join(root, name)
+        self.name = name
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "snapshots"), exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    @property
+    def _head_path(self) -> str:
+        return os.path.join(self.path, "HEAD")
+
+    @property
+    def snapshot_id(self) -> str | None:
+        try:
+            with open(self._head_path) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _manifest(self, snapshot_id: str) -> dict:
+        with open(os.path.join(self.path, "snapshots", f"{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def current_files(self) -> list[str]:
+        sid = self.snapshot_id
+        if sid is None:
+            return []
+        return self._manifest(sid)["files"]
+
+    def summary(self) -> dict:
+        sid = self.snapshot_id
+        return {} if sid is None else self._manifest(sid).get("summary", {})
+
+    def history(self) -> list[dict]:
+        """Snapshot lineage, oldest first (Iceberg's snapshots metadata table)."""
+        out, sid = [], self.snapshot_id
+        while sid is not None:
+            m = self._manifest(sid)
+            out.append({"snapshot_id": sid, "summary": m.get("summary", {}),
+                        "ts": m.get("ts"), "parent": m.get("parent")})
+            sid = m.get("parent")
+        return list(reversed(out))
+
+    # -- commits --------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame, snapshot_id: str) -> list[str]:
+        out_dir = os.path.join(self.path, "data", snapshot_id)
+        df.write.mode("overwrite").parquet(out_dir)
+        return sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+
+    def _commit(self, files: list[str], summary: dict | None) -> str:
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        manifest = {
+            "snapshot_id": sid,
+            "parent": self.snapshot_id,
+            "ts": time.time(),
+            "files": files,
+            "summary": summary or {},
+        }
+        mpath = os.path.join(self.path, "snapshots", f"{sid}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        tmp = self._head_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.replace(tmp, self._head_path)  # the atomic commit point
+        return sid
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> str:
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        new_files = self._write_files(df, sid)
+        return self._commit(self.current_files() + new_files, summary)
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> str:
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        return self._commit(self._write_files(df, sid), summary)
+
+    def merge(
+        self,
+        batch: DataFrame,
+        key_cols: list[str],
+        summary: dict | None = None,
+        when_matched: str = "update",
+    ) -> str:
+        """MERGE INTO this table USING batch ON key_cols.
+
+        ``when_matched='update'``: matched rows are replaced by the batch row
+        (reference upsert-on-url_hash, repository.py:323-350 semantics).
+        ``when_matched='ignore'``: insert-only when not matched.
+        Copy-on-write rewrite; batch must be deduped on key_cols by caller.
+        """
+        spark = batch.sparkSession
+        current = self.read(spark)
+        if current is None:
+            return self.overwrite(batch, summary)
+        if when_matched == "update":
+            kept = current.join(batch.select(*key_cols), on=key_cols, how="left_anti")
+            merged = kept.unionByName(batch)
+        else:  # insert-only
+            new_rows = batch.join(
+                current.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            merged = current.unionByName(new_rows)
+        return self.overwrite(merged, summary)
+
+    def delete_where(self, condition: str, spark: SparkSession,
+                     summary: dict | None = None) -> str:
+        """DELETE FROM tbl WHERE condition (row-level delete, COW rewrite)."""
+        current = self.read(spark)
+        if current is None:
+            return self.snapshot_id or ""
+        return self.overwrite(current.filter(f"NOT ({condition})"), summary)
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        files = self.current_files()
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    def exists(self) -> bool:
+        return self.snapshot_id is not None
+
+
+class SnapStore:
+    """A directory of SnapTables (the engine's warehouse/catalog)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapTable:
+        return SnapTable(self.root, name)
