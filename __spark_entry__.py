@@ -1,38 +1,654 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator family from SURVEY.md §2
+(the operator IDs are cited per query) on the driver's testdata tables;
+``oracle_sql()`` gives the DuckDB twin. Floating outputs are rounded
+identically on both sides; money aggregates go through exact DECIMAL so
+distributed summation order cannot diverge from DuckDB's.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _event_url(df: DataFrame) -> DataFrame:
+    """Synthesize a frontier URL per event row (deterministic)."""
+    return df.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("user_id") % 8).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ),
+    ).withColumn(
+        "host",
+        F.concat(F.lit("site"), (F.col("user_id") % 8).cast("string"),
+                 F.lit(".example.com")),
+    )
+
+
+_EVENT_URL_SQL = (
+    "'https://site' || CAST(user_id % 8 AS VARCHAR) || '.example.com/e/' "
+    "|| CAST(event_id AS VARCHAR)"
+)
+_EVENT_HOST_SQL = "'site' || CAST(user_id % 8 AS VARCHAR) || '.example.com'"
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier pipeline core (F5 bloom dedup + T1 politeness
+    slots) over sf0.001 events-as-frontier."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q02_frontier_schedule(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# frontier / crawler operators (SURVEY §2.3-2.4)
+
+
+def q01_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: URL-seen dedup via segmented bloom + exact anti-join (the
+    negative-pass-through topology). Seen = every 3rd event URL."""
+    from spark_frontier.functions.bloom import build_bloom_segments, dedup_unseen
+    from spark_frontier.functions.urls import url_key
+
+    ev = _event_url(_t(spark, sf_dir, "events"))
+    frontier = ev.withColumn("url_key", url_key(F.col("url")))
+    seen = frontier.filter(F.col("event_id") % 3 == 0).select("url_key")
+    segments = build_bloom_segments(seen, n_segments=8)
+    unseen = dedup_unseen(frontier, seen, segments=segments, n_segments=8)
+    return unseen.select("event_id", "url")
+
+
+def q02_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: politeness-deadline scheduling — per-host priority window, cap
+    3 slots/host, deadline offset (slot-1)/refill_rate."""
+    ev = _event_url(_t(spark, sf_dir, "events")).filter(
+        F.col("event_type") != "error"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("host_slot", F.row_number().over(w))
+        .filter(F.col("host_slot") <= 3)
+        .withColumn(
+            "deadline_s", ((F.col("host_slot") - 1) * F.lit(2.0)).cast("double")
+        )
+        .select("event_id", "host", "host_slot", "deadline_s")
+    )
+
+
+def q03_recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: recency cutoff — keep events within 7 days of the max ts."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .select("event_id", "ts")
+    )
+
+
+def q04_reject_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: reject-pattern predicate (single compiled rlike)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        ~F.lower(F.col("text")).rlike("merge|stream")
+    ).select("doc_id", "source")
+
+
+def q05_window_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/S7: orderBy desc + row_number offset/limit paging (page 3 of 20)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "rn")
+    )
+
+
+def q06_undated_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/A7: last-N tail per key in reverse order (undated-tail rule)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q07_argmax_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8/A4: argmax aggregate — dominant event_type per user (count desc,
+    type asc tie-break), the category-scoring shape."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return counts.groupBy("user_id").agg(
+        F.max_by(
+            F.col("event_type"),
+            F.struct(F.col("n"), _desc_str(F.col("event_type"))),
+        ).alias("top_type"),
+        F.max("n").alias("top_n"),
+    )
+
+
+def _desc_str(c):
+    """Invert string order so max_by picks the alphabetically-smallest on
+    count ties (negate each char's codepoint via a sortable transform)."""
+    # struct(n, X) max picks largest n, then largest X — we need smallest
+    # event_type, so map it to a descending collation by negating bytes.
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: -F.ascii(F.substring(c, 1, 0x7FFFFFF).substr(i, F.lit(1))),
+    )
+
+
+def q08_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/K3: funnel counters — groupBy + conditional sums."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
+def q09_coalesce_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9/V11: precedence chain via coalesce (category/published_at rule)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderstatus")),
+            F.when(F.col("o_totalprice") > 200000, F.lit("big")),
+            F.lit("sports"),
+        ).alias("resolved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine credibility: TPC-H-ish aggregates/joins (free in Spark; anchors
+# the bench + proves Catalyst plans are sane)
+
+
+def q10_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d("l_quantity")).alias("_sq"),
+        F.sum(d("l_extendedprice")).alias("_sbp"),
+        F.sum(d("l_extendedprice") * (one - d("l_discount"))).alias("_sdp"),
+        F.sum(
+            d("l_extendedprice") * (one - d("l_discount")) * (one + d("l_tax"))
+        ).alias("_sc"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias(
+            "avg_qty"
+        ),
+        "count_order",
+    )
+
+
+def q11_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pipeline: customer ⨝ orders ⨝ lineitem, revenue top-10.
+    customer is broadcast (small dim); lineitem→orders shuffles on key."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(d("l_extendedprice") * (one - d("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis
+
+
+def q12_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.4
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, block_col="label"
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q15_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+        "embedding"]]
+    top = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q16_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.textstats import subword_count, token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        subword_count(F.col("text")).alias("n_subwords"),
+    )
+
+
+def q17_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.textstats import quality_score
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.textstats import lang_id
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def q19_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.textstats import fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q20_sha_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V10: SHA-256 raw-URL parity hash (repository.py:92-94)."""
+    from spark_frontier.functions.urls import sha256_hex
+
+    ev = _event_url(_t(spark, sf_dir, "events"))
+    return ev.select("event_id", sha256_hex(F.col("url")).alias("url_sha"))
+
+
+# --- rows-only checks (probabilistic / non-SQL-expressible) ----------------
+
+
+def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=5, num_perm=64, bands=16,
+        threshold=0.5,
+    ).select("doc_a", "doc_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q23_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_frontier.analytics.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+        "embedding"]]
+    return ann_topk_lsh(emb.filter(F.col("vec_id") != 0), qvec, k=10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synth input_hint table → decode → channel stats
+    (no driver images table, so the input is generated deterministically)."""
+    import pandas as pd
+
+    from spark_frontier.analytics.multimodal import decode_stats
+    from spark_frontier.pipeline.synth import gen_images
+
+    pdf = gen_images(64)
+    images = spark.createDataFrame(pdf[["image_id", "bytes"]])
+    stats = decode_stats(images)
+    return stats.select(
+        "image_id", "ok",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("std_lum", 4).alias("std_lum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_frontier_dedup": q01_frontier_dedup,
+        "q02_frontier_schedule": q02_frontier_schedule,
+        "q03_recency_filter": q03_recency_filter,
+        "q04_reject_filter": q04_reject_filter,
+        "q05_window_paging": q05_window_paging,
+        "q06_undated_tail": q06_undated_tail,
+        "q07_argmax_category": q07_argmax_category,
+        "q08_funnel_counts": q08_funnel_counts,
+        "q09_coalesce_precedence": q09_coalesce_precedence,
+        "q10_tpch_q1": q10_tpch_q1,
+        "q11_tpch_q3ish": q11_tpch_q3ish,
+        "q12_exact_dedup": q12_exact_dedup,
+        "q13_ngram_jaccard": q13_ngram_jaccard,
+        "q14_embedding_neardup": q14_embedding_neardup,
+        "q15_cosine_topk": q15_cosine_topk,
+        "q16_token_count": q16_token_count,
+        "q17_quality_score": q17_quality_score,
+        "q18_lang_id": q18_lang_id,
+        "q19_fingerprint": q19_fingerprint,
+        "q20_sha_parity": q20_sha_parity,
+        "q21_minhash_lsh": q21_minhash_lsh,
+        "q22_simhash": q22_simhash,
+        "q23_ann_lsh": q23_ann_lsh,
+        "q24_image_stats": q24_image_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKENS = f"list_filter(string_split_regex({_NORM}, '\\s+'), x -> x <> '')"
+
+
+def _stop_list(lang: str) -> str:
+    from spark_frontier.analytics.textstats import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def _lang_score(lang: str) -> str:
+    return (
+        f"len(list_filter({_TOKENS}, x -> x IN ({_stop_list(lang)})))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qual_punct = (
+        "length(regexp_replace(text, '[^.,;:!?''\"]', '', 'g'))"
+        "::DOUBLE / greatest(length(text), 1)"
+    )
+    qual_ntok = f"len({_TOKENS})::DOUBLE"
+    qual_stop = (
+        f"len(list_filter({_TOKENS}, x -> x IN ({_stop_list('en')})))::DOUBLE"
+        f" / greatest(len({_TOKENS}), 1)"
+    )
+    lang_cases = " ".join(
+        f"WHEN s_{lg} = m THEN '{lg}'" for lg in ["de", "en", "es", "fr"]
+    )
+    return {
+        "q01_frontier_dedup": f"""
+            SELECT event_id, {_EVENT_URL_SQL} AS url
+            FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events s
+                WHERE s.event_id % 3 = 0 AND s.event_id = e.event_id)
+        """,
+        "q02_frontier_schedule": f"""
+            WITH c AS (
+                SELECT event_id, {_EVENT_HOST_SQL} AS host, ts
+                FROM events WHERE event_type <> 'error'),
+            r AS (
+                SELECT event_id, host,
+                       ROW_NUMBER() OVER (PARTITION BY host
+                                          ORDER BY ts, event_id) AS host_slot
+                FROM c)
+            SELECT event_id, host, CAST(host_slot AS INT) AS host_slot,
+                   (host_slot - 1) * 2.0 AS deadline_s
+            FROM r WHERE host_slot <= 3
+        """,
+        "q03_recency_filter": """
+            SELECT event_id, ts FROM events
+            WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        """,
+        "q04_reject_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE NOT regexp_matches(lower(text), 'merge|stream')
+        """,
+        "q05_window_paging": """
+            WITH r AS (
+                SELECT o_orderkey, o_orderdate, o_totalprice,
+                       ROW_NUMBER() OVER (ORDER BY o_orderdate DESC,
+                                          o_orderkey) AS rn
+                FROM orders)
+            SELECT o_orderkey, o_orderdate, o_totalprice, CAST(rn AS INT) AS rn
+            FROM r WHERE rn > 40 AND rn <= 60
+        """,
+        "q06_undated_tail": """
+            WITH r AS (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_type = 'click')
+            SELECT user_id, event_id, CAST(rn AS INT) AS rn
+            FROM r WHERE rn <= 5
+        """,
+        "q07_argmax_category": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT user_id, event_type, n,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type) AS rk
+                FROM c)
+            SELECT user_id, event_type AS top_type,
+                   (SELECT max(n) FROM c c2 WHERE c2.user_id = r.user_id) AS top_n
+            FROM r WHERE rk = 1
+        """,
+        "q08_funnel_counts": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                       AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q09_coalesce_precedence": """
+            SELECT o_orderkey,
+                   coalesce(
+                       CASE WHEN o_orderstatus = 'F' THEN NULL
+                            ELSE o_orderstatus END,
+                       CASE WHEN o_totalprice > 200000 THEN 'big' END,
+                       'sports') AS resolved
+            FROM orders
+        """,
+        "q10_tpch_q1": """
+            WITH a AS (
+                SELECT l_returnflag, l_linestatus,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS _sq,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS _sbp,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2))
+                              - CAST(l_discount AS DECIMAL(18,2)))) AS _sdp,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2))
+                              - CAST(l_discount AS DECIMAL(18,2)))
+                           * (CAST(1 AS DECIMAL(18,2))
+                              + CAST(l_tax AS DECIMAL(18,2)))) AS _sc,
+                       count(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+                GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(_sq AS DOUBLE) AS sum_qty,
+                   CAST(_sbp AS DOUBLE) AS sum_base_price,
+                   CAST(_sdp AS DOUBLE) AS sum_disc_price,
+                   CAST(_sc AS DOUBLE) AS sum_charge,
+                   round(CAST(_sq AS DOUBLE) / count_order, 6) AS avg_qty,
+                   count_order
+            FROM a
+        """,
+        "q11_tpch_q3ish": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q12_exact_dedup": f"""
+            SELECT md5({_NORM}) AS text_hash,
+                   min(doc_id) AS keep_doc_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "q13_ngram_jaccard": f"""
+            WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            idx AS (SELECT doc_id, t,
+                           unnest(range(1, greatest(length(t)-4, 1)+1)) AS i
+                    FROM norm),
+            grams AS (SELECT DISTINCT doc_id, substr(t, i::int, 5) AS gram
+                      FROM idx),
+            -- stop-gram pruning, identical rule to the Spark operator:
+            -- df_cap = max(64, 0.02 * |docs|); hot grams leave both the
+            -- pair generation AND the set sizes (discriminative-shingle
+            -- jaccard)
+            hot AS (SELECT gram FROM grams GROUP BY gram
+                    HAVING count(*) > greatest(64,
+                        (SELECT CAST(0.02 * count(*) AS BIGINT)
+                         FROM documents))),
+            pruned AS (SELECT g.* FROM grams g
+                       WHERE g.gram NOT IN (SELECT gram FROM hot)),
+            sizes AS (SELECT doc_id, count(*) AS set_size
+                      FROM pruned GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS shared
+                      FROM pruned a JOIN pruned b USING (gram)
+                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            j AS (SELECT doc_a, doc_b,
+                         shared::DOUBLE
+                         / (sa.set_size + sb.set_size - shared) AS jac
+                  FROM pairs
+                  JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b)
+            SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.4
+        """,
+        "q14_embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                       AS cosine
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "q15_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings
+                          WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings
+                      WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10
+        """,
+        "q16_token_count": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS INT) AS n_tokens,
+                   CAST(len(list_filter(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                        x -> x <> '')) AS INT) AS n_subwords
+            FROM documents
+        """,
+        "q17_quality_score": f"""
+            SELECT doc_id,
+                   round((least({qual_ntok} / 20.0, 1.0)
+                          + (1.0 - least({qual_punct} * 5.0, 1.0))
+                          + least({qual_stop} * 4.0, 1.0)) / 3.0, 6)
+                       AS quality
+            FROM documents
+        """,
+        "q18_lang_id": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       {_lang_score('de')} AS s_de,
+                       {_lang_score('en')} AS s_en,
+                       {_lang_score('es')} AS s_es,
+                       {_lang_score('fr')} AS s_fr
+                FROM documents),
+            m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS m FROM s)
+            SELECT doc_id,
+                   CASE WHEN m = 0 THEN 'und' {lang_cases} END AS lang_guess
+            FROM m
+        """,
+        "q19_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "q20_sha_parity": f"""
+            SELECT event_id, sha256({_EVENT_URL_SQL}) AS url_sha FROM events
+        """,
+        # q21-q24: probabilistic / payload ops — rows-only checks by design
+    }

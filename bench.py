@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line for the driver.
+
+Two workloads:
+
+1. Headline analytics queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — per-query wall
+   seconds in "queries".
+2. The frontier pipeline (BASELINE.json metric: frontier URLs
+   fetched+deduped/sec) on a deterministic synthetic sitemap world, run at
+   TWO parallelism levels (local[8] and local[32] by default) to evidence
+   the north_rule's N→4N scaling-efficiency ≥ 0.8 criterion (no real
+   cluster in this sandbox — see BASELINE.md). Reported under
+   "frontier": {urls_per_sec_n, urls_per_sec_4n, scaling_efficiency}.
+
+Output: ONE json line
+  {"metric": "...", "value": <headline urls/sec at 4N>, "unit": "sec",
+   "queries": {...}, "sf": 0.1, "frontier": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_WORLD = os.environ.get(
+    "SPARK_GRAFT_BENCH_WORLD", "/tmp/spark_frontier_bench_world"
+)
+
+HEADLINE = [
+    "q01_frontier_dedup",
+    "q02_frontier_schedule",
+    "q10_tpch_q1",
+    "q11_tpch_q3ish",
+    "q12_exact_dedup",
+    "q13_ngram_jaccard",
+    "q14_embedding_neardup",
+    "q15_cosine_topk",
+    "q16_token_count",
+    "q18_lang_id",
+    "q21_minhash_lsh",
+    "q22_simhash",
+]
+
+
+def ensure_bench_world() -> str:
+    """Deterministic synthetic frontier world, sized to amortize startup:
+    ~96k candidate URLs over 24 sites with one hot host (skew)."""
+    marker = os.path.join(BENCH_WORLD, "web_pages.parquet")
+    if not os.path.exists(marker):
+        from spark_frontier.pipeline.synth import gen_world
+
+        gen_world(
+            BENCH_WORLD,
+            n_sites=32,
+            urlsets_per_site=12,
+            urls_per_urlset=5000,
+            n_images=512,
+            img_w=64,
+            img_h=48,
+            hot_site=1,
+            hot_factor=6,
+        )
+    return BENCH_WORLD
+
+
+def _one_cycle(spark, world, cores: int):
+    import tempfile
+
+    from spark_frontier.pipeline.crawl import run_crawl_cycle, seed_seen_store
+    from spark_frontier.pipeline.synth import NOW
+    from spark_frontier.storage import SnapStore
+
+    store_dir = tempfile.mkdtemp(prefix=f"bench_store_{cores}_")
+    store = SnapStore(store_dir)
+    seed_seen_store(store, world["url_seen"])
+    t0 = time.time()
+    report = run_crawl_cycle(
+        spark, world, store, batch_ts=NOW, days=7,
+        max_per_host=10_000_000,  # drain in one politeness wave
+        use_bloom=True, bloom_segments=16, salt_buckets=max(cores // 2, 4),
+        collect_metrics=False,
+        # NOT fused: fusing stacks two python UDFs (canonicalize + bloom
+        # probe) in one stage → 2 workers per task slot → oversubscribed
+        # at high core counts.
+        fuse_discovery=False,
+    )
+    return time.time() - t0, report, store_dir
+
+
+def run_frontier_bench(cores: int) -> dict:
+    """Steady-state crawl-cycle throughput: one UNTIMED warmup cycle on a
+    small world (JIT compilation + python worker pool — a real cluster
+    crawls continuously, so warm executors are the representative state),
+    then one timed cycle on the full bench world, fresh store."""
+    import shutil
+
+    from spark_frontier.pipeline.crawl import load_world
+    from spark_frontier.session import get_spark, stop_spark
+
+    stop_spark()
+    spark = get_spark(f"frontier-bench-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = []
+    try:
+        # warmup = the SAME cycle on a fresh store: C2 needs real iteration
+        # counts on the hot loops, which a toy world doesn't provide
+        world = load_world(spark, ensure_bench_world())
+        _, _, d0 = _one_cycle(spark, world, cores)
+        dirs.append(d0)
+
+        # two timed cycles, min wall: this host shows ±30% background
+        # noise between runs minutes apart; min is the least-contaminated
+        # sample of the engine's actual cost
+        walls = []
+        report = None
+        for _ in range(2):
+            wall, report, d = _one_cycle(spark, world, cores)
+            dirs.append(d)
+            walls.append(wall)
+        wall = min(walls)
+        processed = report.scheduled  # fetched+deduped frontier URLs
+        return {
+            "cores": cores,
+            "wall_s": round(wall, 3),
+            "walls_all_s": [round(x, 3) for x in walls],
+            "frontier_urls": processed,
+            "urls_per_sec": round(processed / wall, 2),
+            "new_urls_found": report.new_urls_found,
+            "entries_total": report.sitemap_entries_total,
+        }
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        stop_spark()
+
+
+def run_query_bench() -> dict:
+    import __spark_entry__ as entry_mod
+
+    from spark_frontier.session import get_spark, stop_spark
+
+    stop_spark()
+    spark = get_spark("query-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warm (plan + scan caches)
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+    stop_spark()
+    return out
+
+
+def _frontier_in_subprocess(cores: int) -> dict:
+    """Each parallelism level gets a FRESH python+JVM: consecutive
+    SparkContexts in one JVM contaminate each other (leftover python
+    daemons, heap garbage, stale pools) and corrupt the comparison."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import json, bench; "
+         f"print('BENCHJSON ' + json.dumps(bench.run_frontier_bench({cores})))"],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON "):
+            return json.loads(line[len("BENCHJSON "):])
+    raise RuntimeError(f"frontier bench failed: {out.stderr[-2000:]}")
+
+
+def _queries_in_subprocess() -> dict:
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import json, bench; "
+         "print('BENCHJSON ' + json.dumps(bench.run_query_bench()))"],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON "):
+            return json.loads(line[len("BENCHJSON "):])
+    raise RuntimeError(f"query bench failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    # every phase in its own process: a lingering (even stopped) JVM in the
+    # parent measurably contaminates the other phases' timings
+    queries = _queries_in_subprocess()
+    n_cores = max(CPUS // 4, 2)
+    fr_n = _frontier_in_subprocess(n_cores)
+    fr_4n = _frontier_in_subprocess(CPUS)
+    eff = round(
+        fr_4n["urls_per_sec"] / (4.0 * fr_n["urls_per_sec"]), 3
+    ) if fr_n["urls_per_sec"] else None
+    result = {
+        "metric": "frontier_urls_fetched_deduped_per_sec",
+        "value": fr_4n["urls_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "frontier": {
+            "n_cores": fr_n,
+            "4n_cores": fr_4n,
+            "scaling_efficiency_n_to_4n": eff,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

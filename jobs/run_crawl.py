@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the crawl cycle (north_rule: "ships via
+spark-submit --py-files ... on multi-executor clusters").
+
+Packaging:
+    python jobs/package.py                    # → dist/spark_frontier.zip
+    spark-submit --py-files dist/spark_frontier.zip jobs/run_crawl.py \\
+        --world /path/to/world --store /path/to/warehouse \\
+        [--days 7] [--max-per-host 64] [--dry-run]
+
+On a real cluster the SnapStore root lives on shared storage (S3/HDFS via
+an Iceberg catalog — see storage/snapstore.py for the 1:1 mapping); in
+local mode any directory works. ``--dry-run`` stops after frontier
+materialization (reference cli.py --dry-run, crawl_scheduler.py:330-396).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime, timezone
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--world", required=True, help="dir of world parquet tables")
+    p.add_argument("--store", required=True, help="SnapStore warehouse root")
+    p.add_argument("--days", type=int, default=7)
+    p.add_argument("--max-per-host", type=int, default=64)
+    p.add_argument("--salt-buckets", type=int, default=8)
+    p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--batch-ts", default=None,
+                   help="ISO timestamp for logical time (default: now UTC)")
+    p.add_argument("--cleanup-ttl-days", type=int, default=None,
+                   help="also run retention cleanup with this TTL")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # spark-submit provides master/deploy config; fall back to local dev
+    spark = SparkSession.builder.appName("spark-frontier-crawl").getOrCreate()
+
+    from spark_frontier.pipeline.crawl import (
+        load_world,
+        retention_cleanup,
+        run_crawl_cycle,
+        seed_seen_store,
+    )
+    from spark_frontier.storage import SnapStore
+
+    batch_ts = (
+        datetime.fromisoformat(args.batch_ts)
+        if args.batch_ts
+        else datetime.now(timezone.utc).replace(tzinfo=None)
+    )
+    world = load_world(spark, args.world)
+    store = SnapStore(args.store)
+    if "url_seen" in world:
+        seed_seen_store(store, world["url_seen"])
+
+    if args.dry_run:
+        from pyspark.sql import functions as F
+
+        from spark_frontier.frontier.priority import build_candidates
+        from spark_frontier.frontier.recency import filter_recent
+        from spark_frontier.sitemap.expand import expand_sitemap_tree
+
+        sites = world["sites"].filter(F.col("is_active"))
+        entries = expand_sitemap_tree(
+            sites.select("site_id", "site_seq", "sitemap_url"),
+            world["sitemap_pages"],
+        )
+        cand = build_candidates(filter_recent(entries, sites, args.days, batch_ts))
+        print(json.dumps({"dry_run": True, "candidates": cand.count()}))
+        return 0
+
+    report = run_crawl_cycle(
+        spark, world, store, batch_ts=batch_ts, days=args.days,
+        max_per_host=args.max_per_host, use_bloom=not args.no_bloom,
+        salt_buckets=args.salt_buckets,
+    )
+    if args.cleanup_ttl_days is not None:
+        retention_cleanup(store, spark, now=batch_ts,
+                          ttl_days=args.cleanup_ttl_days)
+    print(json.dumps(report.as_dict()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,329 @@
+"""Document deduplication for training-data pipelines.
+
+Not in the reference (its dedup is URL-level, F5) — these are the
+large-scale corpus operators a 100 TB training-data pipeline needs, built
+Spark-first over the ``documents`` table (doc_id, text, lang, source,
+n_chars):
+
+- exact_dedup            hash-groupBy on normalized text (1 shuffle,
+                         map-side partial agg)
+- ngram_jaccard_pairs    n-gram inverted index self-join → |∩|/|∪| — the
+                         exact pairwise Jaccard, pruned by a same-gram
+                         pre-join so it never goes O(n²) on disjoint docs
+- minhash_lsh_pairs      MinHash signatures (vectorized numpy) → banded
+                         LSH bucket join → candidates → exact verify.
+                         The scale path: candidates ∝ true near-dups, not
+                         n². Probabilistic recall (tunable perms/bands).
+- simhash_pairs          64-bit SimHash + chunk-banding for hamming ≤ k
+- embedding_neardup      cosine ≥ τ pairs over embeddings (block join)
+
+Each has a ``queries()`` entry in __spark_entry__.py; the deterministic
+ones (exact, ngram-jaccard, embedding) have DuckDB oracles; MinHash/SimHash
+are verified by property tests (recall vs exact Jaccard) instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def normalize_text(col) -> F.Column:
+    """lowercase + collapse whitespace — the canonical form for exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the smallest doc_id per identical normalized text. One shuffle
+    on a 128-bit hash (not the full text — bytes stay out of the shuffle);
+    collision probability negligible at any realistic corpus size."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        docs.select("doc_id", h)
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (exact pairwise, inverted-index pruned)
+
+
+def _char_ngrams(col, n: int) -> F.Column:
+    """Distinct character n-grams of the normalized text, JVM-side:
+    sequence+transform+substring — no Python."""
+    s = normalize_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1))),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 5, threshold: float = 0.8, text_col: str = "text",
+    df_cap_frac: float = 0.02, df_cap_min: int = 64,
+) -> DataFrame:
+    """Jaccard over DISCRIMINATIVE character n-grams for every pair sharing
+    ≥1 such gram. Inverted index join: explode grams → self-join on gram →
+    count shared → |∪| = |A|+|B|-shared.
+
+    Stop-gram pruning (standard for inverted-index similarity joins): grams
+    appearing in more than max(df_cap_min, df_cap_frac·|docs|) documents
+    are excluded from BOTH the pair generation and the set sizes — they
+    carry no discriminative signal and would make the self-join quadratic
+    in corpus size. Near-dup pairs keep high scores because their rare
+    grams dominate numerator and denominator alike. The DuckDB oracle in
+    __spark_entry__.py applies the identical rule."""
+    grams = (
+        docs.select(
+            "doc_id", F.explode(_char_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .withColumn("gram", F.xxhash64("gram"))  # shuffle 8 bytes, not strings
+    )
+    n_docs = docs.count()
+    df_cap = max(df_cap_min, int(df_cap_frac * n_docs))
+    hot = grams.groupBy("gram").count().filter(F.col("count") > df_cap).select("gram")
+    pruned = grams.join(F.broadcast(hot), on="gram", how="left_anti")
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), on="gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("set_size", "size_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("set_size", "size_b"), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 5, num_perm: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """num_perm minhashes per doc via the standard (a*x+b) mod p family over
+    xxhash64 shingles. Vectorized numpy inside one Arrow UDF batch."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.default_rng(42)
+    P = np.uint64((1 << 61) - 1)
+    A = rng.integers(1, P, size=num_perm, dtype=np.uint64)
+    B = rng.integers(0, P, size=num_perm, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _minhash(gramsets: pd.Series) -> pd.Series:
+        out = []
+        for grams in gramsets:
+            if grams is None or len(grams) == 0:
+                out.append([0] * num_perm)
+                continue
+            x = np.asarray(grams, dtype=np.int64).view(np.uint64) % P
+            # (num_perm, n_grams) without materializing huge matrices:
+            sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+            for start in range(0, len(x), 4096):
+                chunk = x[start:start + 4096]
+                hv = (A[:, None] * chunk[None, :] + B[:, None]) % P
+                sig = np.minimum(sig, hv.min(axis=1))
+            out.append(sig.view(np.int64).tolist())
+        return pd.Series(out)
+
+    grams = docs.select(
+        "doc_id",
+        F.transform(_char_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)).alias(
+            "_grams"
+        ),
+    )
+    return grams.select("doc_id", _minhash(F.col("_grams")).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded LSH: split signatures into ``bands`` rows-per-band groups,
+    bucket-join on (band, band-hash), verify candidates with the signature
+    Jaccard estimate. Collision prob for a pair with true Jaccard s is
+    1-(1-s^r)^b — tune bands/num_perm for the target threshold."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col)
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        b * rows_per_band + 1,
+                        rows_per_band,
+                    ).cast("string")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over token hashes; near-dup pairs via 4-chunk banding
+    (pigeonhole: hamming ≤ 3 ⇒ at least one 16-bit chunk equal), then exact
+    hamming verify with bit_count(xor). All JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    import hashlib
+
+    def _stable64(tok: str) -> int:
+        # Python's builtin hash() is salted per process → NOT usable on
+        # executors; blake2b is stable everywhere.
+        return int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+        )
+
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array([_stable64(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for i in range(64):
+                if v[i] > 0:
+                    sh |= np.uint64(1) << np.uint64(i)
+            out.append(int(sh.view(np.int64)))
+        return pd.Series(out)
+
+    sigs = docs.select("doc_id", _simhash(F.col(text_col)).alias("simhash"))
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), on=["chunk_idx", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, block_col: str | None = "label"
+) -> DataFrame:
+    """Cosine ≥ τ pairs. Blocked self-join (same ``block_col``) when a
+    blocking key exists; else full cross within size limits. Dot products
+    via zip_with/aggregate — JVM-side, no Python."""
+    e = embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    join_on = [block_col] if block_col else []
+    a, b = e.alias("a"), e.alias("b")
+    if join_on:
+        pairs = a.join(b, on=join_on).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.embedding"), F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v * v)
+    )
+    return (
+        pairs.withColumn("cosine", dot / (norm("a") * norm("b")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,148 @@
+"""Multimodal (image/audio/video) column operators.
+
+Binary payloads are opaque ``binary`` columns with typed metadata; all
+decode/feature work happens inside Arrow UDF batches (mapInPandas), and
+payloads are joined LATE so bytes never ride through earlier shuffles.
+
+The container has no PIL/ffmpeg, so this module's *codecs* are the
+deterministic SFIM codec from payload/codec.py (images) and clearly-marked
+``NotImplementedError`` seams (audio/video) — but the Spark-side plumbing
+(schemas, batch shapes, partitioning) is real and tested:
+
+- decode_stats      decode + per-image mean/std channel stats
+- resize_images     nearest-neighbor resize (numpy), re-encode
+- image_features    8x8 luma pooled features as array<float> (the shape an
+                    embedding model would return)
+- frame_sample      N evenly-spaced "frames" from a video payload (STUB
+                    decode; real ffmpeg plugs into the same iterator)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spark_frontier.payload.codec import decode_image, encode_image
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", StringType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("std_lum", DoubleType()),
+    ]
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Per-image channel stats via mapInPandas (one Arrow batch of blobs →
+    one stats frame; bytes never leave the batch)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(blob).astype(np.float64)
+                    lum = px.mean(axis=-1)
+                    rows.append((iid, "ok", float(px[..., 0].mean()),
+                                 float(px[..., 1].mean()),
+                                 float(px[..., 2].mean()), float(lum.std())))
+                except Exception as e:
+                    rows.append((iid, f"error:{e}", None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in STATS_SCHEMA.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(_run, STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize + re-encode, batched."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(blob)
+                    h, w, _ = px.shape
+                    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                    resized = px[yi][:, xi]
+                    rows.append((iid, encode_image(resized, fmt), out_w, out_h, fmt))
+                except Exception:
+                    rows.append((iid, None, None, None, fmt))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(_run, RESIZE_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """64-dim pooled-luma feature vector per image (stand-in for a real
+    vision-encoder embedding; identical schema/batching)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(blob).astype(np.float32).mean(axis=-1)
+                    h, w = px.shape
+                    ys = np.linspace(0, h, 9, dtype=int)
+                    xs = np.linspace(0, w, 9, dtype=int)
+                    feat = [
+                        float(px[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                 xs[j]:max(xs[j + 1], xs[j] + 1)].mean()) / 255.0
+                        for i in range(8) for j in range(8)
+                    ]
+                    rows.append((iid, feat))
+                except Exception:
+                    rows.append((iid, None))
+            yield pd.DataFrame(rows, columns=["image_id", "features"])
+
+    return images.select("image_id", "bytes").mapInPandas(_run, FEATURES_SCHEMA)
+
+
+def decode_audio(blob: bytes) -> np.ndarray:  # pragma: no cover - seam
+    """STUB: audio decode seam. Real deployments plug soundfile/ffmpeg here;
+    the container ships neither."""
+    raise NotImplementedError("audio decode requires ffmpeg/soundfile")
+
+
+def frame_sample(video_blob: bytes, n_frames: int) -> list[bytes]:  # pragma: no cover
+    """STUB: video frame sampling seam (evenly spaced frame extraction).
+    Real deployments plug pyav/ffmpeg here."""
+    raise NotImplementedError("video decode requires pyav/ffmpeg")

@@ -182,12 +182,3 @@ def detect_category(
     return _detect(url, title, content, site_type, sport_focus)
 
 
-def segment_category_sql(url_col: str = "url") -> str:
-    """detect() step-2 as pure SQL over path segments — the min_by(seg_pos)
-    broadcast-join shape, generated for the DuckDB oracle and for JVM-side
-    execution (SURVEY.md V6)."""
-    cases = []
-    for seg_val, cat in sorted(_KEYWORD_TO_CAT.items()):
-        cases.append((seg_val, cat))
-    # built by __spark_entry__ via a VALUES join; kept here for reference
-    return ""

@@ -86,10 +86,24 @@ def _find_element(html: str, selector: str) -> tuple[str, dict] | None:
     attrs = dict(re.findall(r"(\w[\w-]*)\s*=\s*[\"']([^\"']*)[\"']", attrs_str))
     if tag_name in _VOID_TAGS and f"</{tag_name}" not in html[m.end():m.end() + 200]:
         return "", attrs
-    close = re.compile(rf"</{tag_name}\s*>", re.IGNORECASE)
-    cm = close.search(html, m.end())
-    inner = html[m.end(): cm.start()] if cm else html[m.end():]
+    end = _matching_close(html, tag_name, m.end())
+    inner = html[m.end():end] if end is not None else html[m.end():]
     return inner, attrs
+
+
+def _matching_close(html: str, tag: str, start: int) -> int | None:
+    """Index of the close tag matching the open tag that ended at ``start``,
+    depth-aware (nested same-name tags don't truncate the element)."""
+    tok = re.compile(rf"<(/?){tag}\b[^>]*?(/?)>", re.IGNORECASE | re.DOTALL)
+    depth = 1
+    for m in tok.finditer(html, start):
+        if m.group(1):  # close tag
+            depth -= 1
+            if depth == 0:
+                return m.start()
+        elif not m.group(2):  # open tag (self-closing doesn't nest)
+            depth += 1
+    return None
 
 
 def extract_title(html: str) -> str:
@@ -150,6 +164,24 @@ def extract_date_iso(html: str) -> str | None:
     return None
 
 
+def _remove_elements(html: str, open_pat: re.Pattern) -> str:
+    """Excise every element whose open tag matches, depth-aware
+    (extractor.py:181-184 'decompose' semantics)."""
+    out = html
+    while True:
+        m = open_pat.search(out)
+        if not m:
+            return out
+        tag = m.group(1).lower()
+        end = _matching_close(out, tag, m.end())
+        if end is None:
+            # unclosed (or self-closing style) → drop just the tag
+            out = out[: m.start()] + " " + out[m.end():]
+        else:
+            gt = out.find(">", end)
+            out = out[: m.start()] + " " + out[(gt + 1) if gt != -1 else end:]
+
+
 def extract_content(html: str) -> str:
     """extractor.py:165-194: container cascade (fallback <body>), remove
     noise elements, keep p/h2/h3/h4/blockquote texts >20 chars, join with
@@ -167,15 +199,13 @@ def extract_content(html: str) -> str:
     for sel in REMOVE_SELECTORS:
         if sel.startswith("."):
             cls = re.escape(sel[1:])
-            container = re.sub(
-                rf"<(\w+)[^>]*\bclass\s*=\s*[\"'][^\"']*\b{cls}\b[^\"']*[\"'][^>]*>.*?</\1\s*>",
-                " ", container, flags=re.IGNORECASE | re.DOTALL)
+            open_pat = re.compile(
+                rf"<(\w+)[^>]*\bclass\s*=\s*[\"'][^\"']*\b{cls}\b[^\"']*[\"'][^>]*>",
+                re.IGNORECASE,
+            )
         else:
-            container = re.sub(
-                rf"<{sel}\b[^>]*>.*?</{sel}\s*>", " ", container,
-                flags=re.IGNORECASE | re.DOTALL)
-            container = re.sub(rf"<{sel}\b[^>]*/?>", " ", container,
-                               flags=re.IGNORECASE)
+            open_pat = re.compile(rf"<({sel})\b[^>]*>", re.IGNORECASE)
+        container = _remove_elements(container, open_pat)
 
     paragraphs = []
     for m in re.finditer(

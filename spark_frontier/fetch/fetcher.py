@@ -54,7 +54,10 @@ def hermetic_fetch(
     web_pages: (url, image_id, caption, http_code). URLs absent from the
     web table behave as connection failures (http_code 0)."""
     fetched = (
-        batch.join(web_pages, on="url", how="left")
+        # explicit shuffle-hash: the web table is too big to broadcast but
+        # AQE's post-filter size estimates sometimes flip it to a driver
+        # broadcast (slow + bimodal); a hash join on url is the stable plan
+        batch.hint("shuffle_hash").join(web_pages, on="url", how="left")
         .withColumn("http_code", F.coalesce(F.col("http_code"), F.lit(0)).cast("int"))
         .withColumn("fetched_at", F.lit(batch_ts))
         .withColumn("ua", ua_column(F.col("url")))
@@ -65,21 +68,22 @@ def hermetic_fetch(
 def attach_payload(fetched: DataFrame, images: DataFrame) -> DataFrame:
     """Join the binary payload LATE (bytes never ride through earlier
     shuffles — SURVEY §7 'keep bytes out of shuffles'). Only 200-rows get a
-    payload. images: the input_hint table."""
-    ok = fetched.filter(F.col("http_code") == 200)
-    rest = fetched.filter(F.col("http_code") != 200)
-    with_payload = ok.join(
-        images.select("image_id", "bytes", "w", "h", "fmt",
-                      F.col("caption").alias("ref_caption"), "phash"),
+    payload. images: the input_hint table.
+
+    ONE left join for all rows (payload columns nulled for non-200) — a
+    filter/union split would evaluate the upstream fetch join twice."""
+    ok_code = F.col("http_code") == 200
+    joined = fetched.join(
+        F.broadcast(
+            images.select("image_id", "bytes", "w", "h", "fmt",
+                          F.col("caption").alias("ref_caption"), "phash")
+        ),
         on="image_id",
         how="left",
     )
     for c in ["bytes", "w", "h", "fmt", "ref_caption", "phash"]:
-        rest = rest.withColumn(
-            c,
-            F.lit(None).cast(dict(with_payload.dtypes)[c]),
-        )
-    return with_payload.unionByName(rest.select(*with_payload.columns))
+        joined = joined.withColumn(c, F.when(ok_code, F.col(c)))
+    return joined
 
 
 def live_fetch(batch: DataFrame, per_host_limit: int = 10, timeout_s: float = 15.0):

@@ -57,9 +57,12 @@ def salted_repartition(
     salt_key = F.concat_ws(
         "#", F.col("host"), F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
     )
-    if num_partitions:
-        return df.repartition(num_partitions, salt_key)
-    return df.repartition(salt_key)
+    if num_partitions is None:
+        # default to one partition per core: python-UDF stages pay a fixed
+        # per-task worker cost, so more-but-tinier tasks anti-scale
+        sc = df.sparkSession.sparkContext
+        num_partitions = sc.defaultParallelism
+    return df.repartition(num_partitions, salt_key)
 
 
 def adaptive_salt_buckets(df: DataFrame, target_rows_per_task: int = 5000) -> int:

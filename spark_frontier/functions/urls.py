@@ -61,15 +61,44 @@ def _canonicalize_one(url: str) -> str:
     return urlunsplit((scheme, host, path, query, ""))
 
 
+# URLs matching this are ALREADY canonical: lowercase scheme+host, no
+# default-port suffix, non-empty path with no dot-segments or
+# percent-escapes, no fragment. The vectorized regex check lets ~80-99% of
+# real frontier URLs skip the per-URL urllib slow path entirely.
+_FAST_CANONICAL = (
+    r"^https?://"                      # lowercase scheme
+    r"[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?"  # lowercase reg-name host
+    r"(?::\d+)?"                       # explicit port (validated below)
+    r"/(?:[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)"  # path, no %, no ./..
+    r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?&=]+)?$"  # query non-empty, no %
+)
+
+
 def canonicalize_url(url_col) -> Column:
     """Vectorized RFC 3986 normalization (Arrow batches, never per-row Python
-    at the DataFrame level). UDF is constructed lazily so importing this
-    module never requires an active SparkSession."""
+    at the DataFrame level). Already-canonical URLs (the overwhelming
+    majority of a sitemap frontier) are detected with one vectorized regex
+    and passed through; only the rest pay the per-URL urllib path. UDF is
+    constructed lazily so importing this module never requires an active
+    SparkSession."""
     from pyspark.sql.types import StringType
 
     @pandas_udf(StringType())
     def _canon(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: _canonicalize_one(u) if u is not None else None)
+        fast = urls.str.match(_FAST_CANONICAL, na=False)
+        # any "/."-ish segment (./ ../ trailing /. /.. /.?q) and default
+        # ports go to the slow path; uppercase hosts already fail the regex
+        fast &= ~urls.str.contains("/.", regex=False)
+        fast &= ~urls.str.contains(":80/", regex=False)
+        fast &= ~urls.str.contains(":443/", regex=False)
+        if fast.all():
+            return urls
+        out = urls.copy()
+        slow = ~fast
+        out[slow] = urls[slow].map(
+            lambda u: _canonicalize_one(u) if u is not None else None
+        )
+        return out
 
     return _canon(url_col)
 

@@ -40,6 +40,24 @@ def seed_of_image_id(image_id: str) -> int:
         return 0
 
 
+_REF_CACHE: dict[tuple, np.ndarray] = {}
+_REF_CACHE_MAX = 4096
+
+
+def _ref_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Per-worker reference-pixel cache: the originals store is read once
+    per distinct image per worker, not once per row (synthesizing/fetching
+    reference pixels dominates validation otherwise)."""
+    key = (seed, w, h)
+    ref = _REF_CACHE.get(key)
+    if ref is None:
+        if len(_REF_CACHE) >= _REF_CACHE_MAX:
+            _REF_CACHE.clear()
+        ref = synth_pixels(seed, w, h)
+        _REF_CACHE[key] = ref
+    return ref
+
+
 def _validate_one(image_id, data, w, h, fmt, caption, ref_caption) -> tuple:
     if caption is None or (isinstance(caption, str) and not caption.strip()):
         return False, "missing caption", None
@@ -53,7 +71,7 @@ def _validate_one(image_id, data, w, h, fmt, caption, ref_caption) -> tuple:
         return False, f"decode failed: {e}", None
     if pixels.shape[0] != h or pixels.shape[1] != w:
         return False, "dimension mismatch", None
-    ref = synth_pixels(seed_of_image_id(image_id), int(w), int(h))
+    ref = _ref_pixels(seed_of_image_id(image_id), int(w), int(h))
     p = psnr(pixels, ref)
     if fmt in LOSSY_FMTS:
         if p < PSNR_MIN_DB:

@@ -113,6 +113,51 @@ def seed_seen_store(store: SnapStore, url_seen: DataFrame) -> None:
     links.overwrite(seeded, summary={"op": "seed_seen"})
 
 
+def fetch_and_validate(
+    wave_batch: DataFrame,
+    world: dict[str, DataFrame],
+    batch_ts: datetime,
+    salt_buckets: int = 4,
+) -> DataFrame:
+    """Salted fetch + late payload join + image/caption validation — the
+    UDF-heavy tail shared by the batch cycle and the streaming path."""
+    to_fetch = salted_repartition(wave_batch, salt_buckets)
+    fetched = hermetic_fetch(to_fetch, world["web_pages"], batch_ts)
+    with_payload = attach_payload(fetched, world["images"])
+    return (
+        with_payload.withColumn(
+            "_v",
+            validate_images(
+                F.col("image_id"), F.col("bytes"), F.col("w"), F.col("h"),
+                F.col("fmt"), F.col("caption"), F.col("ref_caption"),
+            ),
+        )
+        .select(
+            "*",
+            F.col("_v")["is_valid"].alias("is_valid"),
+            F.col("_v")["reason"].alias("invalid_reason"),
+            F.col("_v")["psnr_db"].alias("psnr_db"),
+        )
+        # payload columns end at validation: carrying `bytes` into the
+        # post-validate checkpoint would materialize ~GBs for nothing
+        .drop("_v", "bytes", "ref_caption", "phash", "w", "h", "fmt")
+    )
+
+
+def build_link_rows(validated: DataFrame, batch_ts: datetime) -> DataFrame:
+    return (
+        validated.withColumn("title", F.col("news_title"))
+        .withColumn(
+            "published_at",
+            F.coalesce(F.col("news_publication_date"), F.col("lastmod")),
+        )
+        .withColumn("sport_category", F.lit(None).cast("string"))
+        .withColumn("first_seen_at", F.lit(batch_ts))
+        .withColumn("is_valid", F.coalesce(F.col("is_valid"), F.lit(False)))
+        .select(*LINK_COLUMNS)
+    )
+
+
 def run_crawl_cycle(
     spark: SparkSession,
     world: dict[str, DataFrame],
@@ -125,35 +170,104 @@ def run_crawl_cycle(
     bloom_segments: int = 16,
     stop_after_wave: int | None = None,
     salt_buckets: int = 4,
+    collect_metrics: bool = True,
+    fuse_discovery: bool = False,
 ) -> CycleReport:
     """Run one crawl cycle to frontier exhaustion (or stop_after_wave, for
     the resume test). Returns funnel counters."""
+    import os as _os
+    import time as _time
+
+    _trace = bool(_os.environ.get("SPARK_FRONTIER_TRACE"))
+    _t0 = [_time.time()]
+
+    def _tr(tag: str) -> None:
+        if _trace:
+            now = _time.time()
+            print(f"[trace] {tag}: {now - _t0[0]:.2f}s", flush=True)
+            _t0[0] = now
+
+    # Track block-manager state: localCheckpoint blocks from THIS cycle are
+    # dead weight once the cycle's results are committed to the store, but
+    # the ContextCleaner only reclaims them after a (lazy) py4j GC round —
+    # a following cycle would otherwise run under needless memory pressure.
+    _pre_rdds = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
     report = CycleReport()
+    try:
+        return _run_cycle_inner(
+            spark, world, store, batch_ts, days, max_per_host, max_waves,
+            use_bloom, bloom_segments, stop_after_wave, salt_buckets,
+            collect_metrics, fuse_discovery, report, _tr,
+        )
+    finally:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            if rid not in _pre_rdds:
+                jmap.get(rid).unpersist(False)
+
+
+def _run_cycle_inner(
+    spark, world, store, batch_ts, days, max_per_host, max_waves, use_bloom,
+    bloom_segments, stop_after_wave, salt_buckets, collect_metrics,
+    fuse_discovery, report, _tr,
+) -> CycleReport:
     sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
     seeds = sites.select("site_id", "site_seq", "sitemap_url")
 
     # --- discovery: sitemap BFS + recency + candidate build -------------
+    # expand already localCheckpoints each BFS level; counts on the
+    # checkpointed levels are near-free.
     entries = expand_sitemap_tree(seeds, world["sitemap_pages"])
-    entries = entries.localCheckpoint(eager=True)
-    report.sitemap_entries_total = entries.count()
+    _tr("expand")
 
     recent = filter_recent(entries, sites, days=days, now=batch_ts)
-    candidates = build_candidates(recent).localCheckpoint(eager=True)
-    report.entries_within_days = candidates.count()
 
     # --- robots gate (broadcast join; zero frontier shuffles) ------------
     robots_rows = [
         (r["host"], r["content"]) for r in world["robots_docs"].collect()
     ] if "robots_docs" in world else []
     rules = build_rules_df(spark, robots_rows)
-    candidates = robots_allowed(candidates, rules)
-    report.robots_denied = candidates.filter(~F.col("robots_allowed")).count()
-    candidates = candidates.filter(F.col("robots_allowed")).localCheckpoint(eager=True)
+    with_robots = robots_allowed(build_candidates(recent), rules)
+    candidates = with_robots.filter(F.col("robots_allowed"))
+    if fuse_discovery:
+        # single-wave drain mode (bench): keep discovery LAZY so canonical-
+        # ize/robots/recency fuse into the wave job — one pipeline, no
+        # materialization barrier. Wave ≥ 2 checkpoints on entry instead.
+        candidates_ckpt = False
+    else:
+        candidates = candidates.localCheckpoint(eager=True)
+        candidates_ckpt = True
+        report.entries_within_days = candidates.count()
+    if collect_metrics:
+        report.sitemap_entries_total = entries.count()
+        report.robots_denied = with_robots.filter(
+            ~F.col("robots_allowed")
+        ).count()
 
     links_tbl = store.table("links")
     host_tbl = store.table("host_state")
     bloom_tbl = store.table("bloom")
     logs_tbl = store.table("crawl_logs")
+
+    # SNAPSHOT-ISOLATED seen set: read ONCE at cycle start (the SnapTable
+    # file list is immutable per snapshot). In-cycle additions are covered
+    # by the `attempted` set, so the bloom built here stays valid for the
+    # whole cycle — no per-wave rebuild.
+    seen = links_tbl.read(spark)
+    segments = None
+    if seen is None:
+        seen = spark.createDataFrame([], "url_key long")
+    elif use_bloom:
+        segments = bloom_tbl.read(spark)
+        if segments is None:
+            segments = build_bloom_segments(
+                seen.select("url_key"), n_segments=bloom_segments
+            ).localCheckpoint(eager=True)
+            bloom_tbl.overwrite(segments, summary={"op": "bloom_build"},
+                                small=True)
+            segments = bloom_tbl.read(spark)
+    _tr("bloom_init")
 
     # In-cycle attempted set: the reference iterates its new-URL list ONCE
     # per cycle (crawl_scheduler.py:232-241) — failures are not retried
@@ -161,22 +275,14 @@ def run_crawl_cycle(
     # store (save_article_link runs after validation, :288-311).
     attempted = spark.createDataFrame([], "url_key long")
 
+    from pyspark.sql import Observation
+
     wave = 0
     while wave < max_waves:
         wave += 1
-        # --- dedup against committed seen store (bloom + exact) ---------
-        seen = links_tbl.read(spark)
-        segments = None
-        if seen is None:
-            seen = spark.createDataFrame([], "url_key long")
-        elif use_bloom:
-            segments = bloom_tbl.read(spark)
-            if segments is None:
-                segments = build_bloom_segments(
-                    seen.select("url_key"), n_segments=bloom_segments
-                ).localCheckpoint(eager=True)
-                bloom_tbl.overwrite(segments, summary={"op": "bloom_build"})
-                segments = bloom_tbl.read(spark)
+        if wave == 2 and not candidates_ckpt:
+            candidates = candidates.localCheckpoint(eager=True)
+            candidates_ckpt = True
         unseen = dedup_unseen(
             candidates, seen.select("url_key"), segments=segments,
             n_segments=bloom_segments,
@@ -186,7 +292,8 @@ def run_crawl_cycle(
         hs = host_tbl.read(spark)
         if hs is None:
             hs = empty_host_state(spark)
-        unseen = unseen.join(
+        obs_unseen = Observation(f"unseen_w{wave}")
+        unseen = unseen.observe(obs_unseen, F.count(F.lit(1)).alias("n")).join(
             F.broadcast(blocked_hosts(hs)), on="host", how="left_anti"
         )
 
@@ -199,9 +306,11 @@ def run_crawl_cycle(
             unseen, hs, batch_ts, max_per_host=max_per_host
         )
         wave_batch = scheduled.localCheckpoint(eager=True)
+        _tr(f"wave{wave}_ckpt")
         n_wave = wave_batch.count()
+        n_unseen = int(obs_unseen.get["n"])  # observed during the same job
         if wave == 1:
-            report.new_urls_found = unseen.count()
+            report.new_urls_found = n_unseen
         if n_wave == 0:
             break
         report.scheduled += n_wave
@@ -211,46 +320,31 @@ def run_crawl_cycle(
         ).localCheckpoint(eager=True)
 
         # --- fetch (salted for hot hosts) + payload + validation --------
-        to_fetch = salted_repartition(wave_batch, salt_buckets)
-        fetched = hermetic_fetch(to_fetch, world["web_pages"], batch_ts)
-        with_payload = attach_payload(fetched, world["images"])
-        validated = with_payload.withColumn(
-            "_v",
-            validate_images(
-                F.col("image_id"), F.col("bytes"), F.col("w"), F.col("h"),
-                F.col("fmt"), F.col("caption"), F.col("ref_caption"),
-            ),
-        ).select(
-            "*",
-            F.col("_v")["is_valid"].alias("is_valid"),
-            F.col("_v")["reason"].alias("invalid_reason"),
-            F.col("_v")["psnr_db"].alias("psnr_db"),
-        ).drop("_v").localCheckpoint(eager=True)
+        obs_v = Observation(f"valid_w{wave}")
+        validated = fetch_and_validate(
+            wave_batch, world, batch_ts, salt_buckets
+        ).observe(
+            obs_v,
+            F.sum(F.when(F.col("http_code") == 200, 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid"),
+        ).localCheckpoint(eager=True)
 
-        n_ok = validated.filter(F.col("http_code") == 200).count()
-        n_valid = validated.filter(F.col("is_valid")).count()
+        _tr(f"wave{wave}_validate")
+        n_ok = int(obs_v.get["ok"] or 0)
+        n_valid = int(obs_v.get["valid"] or 0)
         report.fetched += n_ok
         report.fetch_failed += n_wave - n_ok
         report.validation_failed += n_ok - n_valid
 
         # --- sinks: MERGE links (K1, valid only — reference parity),
         #     append fetch lineage, host state ----------------------------
-        link_rows = (
-            validated.withColumn("title", F.col("news_title"))
-            .withColumn(
-                "published_at",
-                F.coalesce(F.col("news_publication_date"), F.col("lastmod")),
-            )
-            .withColumn("sport_category", F.lit(None).cast("string"))
-            .withColumn("first_seen_at", F.lit(batch_ts))
-            .withColumn("is_valid", F.coalesce(F.col("is_valid"), F.lit(False)))
-            .select(*LINK_COLUMNS)
-        )
+        link_rows = build_link_rows(validated, batch_ts)
         links_tbl.merge(
             link_rows.filter(F.col("is_valid")), ["url_key"],
             summary={"op": "wave", "wave": wave, "rows": n_wave,
                      "fetched_ok": n_ok, "valid": n_valid},
         )
+        _tr(f"wave{wave}_merge")
         store.table("fetch_log").append(
             link_rows.select("url", "url_key", "host", "http_code", "is_valid",
                              "invalid_reason", "first_seen_at"),
@@ -262,18 +356,26 @@ def run_crawl_cycle(
             hs, validated.select("host", "politeness_deadline", "http_code"),
             batch_ts,
         )
-        host_tbl.overwrite(new_state, summary={"op": "host_state", "wave": wave})
-
-        # bloom grows with the newly committed keys
-        if use_bloom:
-            seen_now = links_tbl.read(spark)
-            segs = build_bloom_segments(
-                seen_now.select("url_key"), n_segments=bloom_segments
-            )
-            bloom_tbl.overwrite(segs, summary={"op": "bloom_refresh", "wave": wave})
+        host_tbl.overwrite(new_state, summary={"op": "host_state", "wave": wave},
+                           small=True)
+        _tr(f"wave{wave}_hoststate")
 
         if stop_after_wave is not None and wave >= stop_after_wave:
             break
+        if n_wave == n_unseen:
+            break  # frontier fully drained this wave — skip the empty round
+
+    # refresh the checkpointed bloom once per cycle so the next cycle (or a
+    # resumed run) starts from fresh segments
+    if use_bloom and report.saved:
+        final_seen = links_tbl.read(spark)
+        bloom_tbl.overwrite(
+            build_bloom_segments(
+                final_seen.select("url_key"), n_segments=bloom_segments
+            ),
+            summary={"op": "bloom_refresh", "waves": wave},
+            small=True,
+        )
 
     # --- cycle bookkeeping: log row + last_crawl_at watermark ------------
     log_row = spark.createDataFrame(
@@ -287,13 +389,15 @@ def run_crawl_cycle(
             }
         ]
     )
-    logs_tbl.append(log_row, summary=report.as_dict())
+    logs_tbl.append(log_row, summary=report.as_dict(), small=True)
+    _tr("bookkeeping")
 
     sites_updated = world["sites"].withColumn(
         "last_crawl_at",
         F.when(F.col("is_active"), F.lit(batch_ts)).otherwise(F.col("last_crawl_at")),
     )
-    store.table("sites").overwrite(sites_updated, summary={"op": "watermark"})
+    store.table("sites").overwrite(sites_updated, summary={"op": "watermark"},
+                                   small=True)
     return report
 
 

@@ -132,6 +132,8 @@ def gen_world(
     urlsets_per_site: int = 3,
     urls_per_urlset: int = 40,
     n_images: int = 64,
+    img_w: int = 32,
+    img_h: int = 24,
     seen_frac: float = 0.3,
     hot_site: int = 1,
     hot_factor: int = 4,
@@ -147,7 +149,7 @@ def gen_world(
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     sites = gen_sites(n_sites)
-    images = gen_images(n_images)
+    images = gen_images(n_images, w=img_w, h=img_h)
 
     pages: list[dict] = []   # sitemap documents
     web: list[dict] = []     # fetchable article pages
@@ -274,6 +276,8 @@ def gen_world(
             p,
             coerce_timestamps="us",  # Spark cannot read TIMESTAMP(NANOS)
             allow_truncated_timestamps=True,
+            row_group_size=65536,  # scan parallelism: splits stop at row
+            # group boundaries, so big single-group files serialize reads
         )
         paths[name] = p
     return paths

@@ -87,6 +87,14 @@ def update_host_state(
     # only the last 10 are ever inspected, so trimming inside the fold is
     # semantics-preserving.
     is_success = lambda c: (c >= 200) & (c < 400)  # noqa: E731
+
+    def last10(arr):
+        # F.slice(arr, -10, 10) is EMPTY when size(arr) < 10 (negative start
+        # beyond length) — clamp the start to -size.
+        return F.slice(
+            arr, F.greatest(F.lit(-WINDOW), -F.size(arr)), F.lit(WINDOW)
+        )
+
     init = F.struct(
         F.coalesce(F.col("recent_codes"), F.array().cast("array<int>")).alias("codes"),
         F.coalesce(F.col("consecutive_failures"), F.lit(0)).alias("cf"),
@@ -105,9 +113,7 @@ def update_host_state(
             ),
         ).otherwise(
             F.struct(
-                F.slice(
-                    F.concat(acc["codes"], F.array(c)), -WINDOW, WINDOW
-                ).alias("codes"),
+                last10(F.concat(acc["codes"], F.array(c))).alias("codes"),
                 (acc["cf"] + 1).alias("cf"),
                 (
                     acc["blocked"]
@@ -116,11 +122,7 @@ def update_host_state(
                         & (
                             F.size(
                                 F.filter(
-                                    F.slice(
-                                        F.concat(acc["codes"], F.array(c)),
-                                        -WINDOW,
-                                        WINDOW,
-                                    ),
+                                    last10(F.concat(acc["codes"], F.array(c))),
                                     lambda x: x.isin(*BLOCKING_CODES),
                                 )
                             )

@@ -82,6 +82,21 @@ def assign_deadlines(
         F.coalesce(F.col("rate_limit_until"), batch),
     )
 
+    # Two-phase exact top-k when the wave cap is small (the production
+    # politeness path): phase 1 ranks within (host, salt) partitions and
+    # keeps ≤ max_per_host per salt — a superset of the true per-host
+    # top-k — so phase 2's exact per-host window sorts ≤ salt·k rows
+    # instead of the host's whole frontier (hot hosts would otherwise
+    # single-task-sort millions of rows).
+    if max_per_host <= 4096:
+        n_salt = 16
+        pre_w = Window.partitionBy(
+            "host", F.pmod(F.xxhash64("url"), F.lit(n_salt))
+        ).orderBy("site_seq", "depth", "path", "sitemap_pos")
+        candidates = candidates.withColumn(
+            "_pre_rank", F.row_number().over(pre_w)
+        ).filter(F.col("_pre_rank") <= max_per_host).drop("_pre_rank")
+
     w = Window.partitionBy("host").orderBy("site_seq", "depth", "path", "sitemap_pos")
     slot = F.row_number().over(w)
 

@@ -63,23 +63,31 @@ def expand_sitemap_tree(
     processed = worklist.select("sitemap_url").localCheckpoint(eager=True)
     results: list[DataFrame] = []
 
+    n_pending = 1  # seeds are non-empty by construction
     for depth in range(max_depth):
-        if worklist.isEmpty():
+        if n_pending == 0:
             break
         docs = worklist.join(pages, on="sitemap_url", how="inner").filter(
             (F.col("http_code") == 200) | F.col("http_code").isNull()
         )
-        parsed = parse_sitemaps(docs.select("sitemap_url", "content"))
-        # re-attach lineage (site, depth, path) lost through the parse UDF
+        # spread documents across all cores BEFORE the parse UDF — the pages
+        # table is typically one parquet split, which would otherwise put
+        # the whole level's parse in a single task
+        par = spark.sparkContext.defaultParallelism
+        parsed = parse_sitemaps(
+            docs.select("sitemap_url", "content").repartition(par, "sitemap_url")
+        )
+        # re-attach lineage (site, depth, path) lost through the parse UDF;
+        # checkpoint ONCE per level (parse is the expensive stage) and
+        # derive url-rows and children lazily from the checkpointed level
         entries = parsed.join(
             F.broadcast(
                 worklist.select("sitemap_url", "site_id", "site_seq", "depth", "path")
             ),
             on="sitemap_url",
             how="inner",
-        )
-        url_rows = entries.filter(~F.col("is_index")).drop("is_index")
-        results.append(url_rows.localCheckpoint(eager=True))
+        ).localCheckpoint(eager=True)
+        results.append(entries.filter(~F.col("is_index")).drop("is_index"))
 
         children = (
             entries.filter(F.col("is_index"))
@@ -94,10 +102,10 @@ def expand_sitemap_tree(
             .dropDuplicates(["sitemap_url"])
         )
         worklist = children.localCheckpoint(eager=True)
-        processed = (
-            processed.unionByName(worklist.select("sitemap_url"))
-            .localCheckpoint(eager=True)
-        )
+        n_pending = worklist.count()  # one cheap job on the checkpointed level
+        # processed stays lazy: built from checkpointed levels only, so its
+        # lineage is one union per level (no extra materialization job)
+        processed = processed.unionByName(worklist.select("sitemap_url"))
 
     if not results:
         return _empty_entries(spark)

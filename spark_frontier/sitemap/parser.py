@@ -228,31 +228,30 @@ def parse_sitemaps(docs: DataFrame) -> DataFrame:
     output is already exploded (no per-row Python at the DataFrame level).
     """
 
+    colnames = [f.name for f in ENTRY_SCHEMA.fields]
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            cols: dict[str, list] = {c: [] for c in colnames}
             for sitemap_url, content in zip(pdf["sitemap_url"], pdf["content"]):
                 text = decode_content(content)
                 entries, mode = parse_sitemap_document(text)
-                for pos, e in enumerate(entries):
-                    rows.append(
-                        {
-                            "sitemap_url": sitemap_url,
-                            "is_index": e.get("is_index", False),
-                            "loc": e.get("loc"),
-                            "lastmod": e.get("lastmod"),
-                            "changefreq": e.get("changefreq"),
-                            "priority": e.get("priority"),
-                            "news_title": e.get("news_title"),
-                            "news_publication_date": e.get("news_publication_date"),
-                            "news_publication_name": e.get("news_publication_name"),
-                            "sitemap_pos": pos,
-                            "parse_mode": mode,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in ENTRY_SCHEMA.fields],
-            )
+                n = len(entries)
+                cols["sitemap_url"].extend([sitemap_url] * n)
+                cols["parse_mode"].extend([mode] * n)
+                cols["sitemap_pos"].extend(range(n))
+                g = lambda k: [e.get(k) for e in entries]  # noqa: E731
+                cols["is_index"].extend(e.get("is_index", False) for e in entries)
+                cols["loc"].extend(g("loc"))
+                cols["lastmod"].extend(g("lastmod"))
+                cols["changefreq"].extend(g("changefreq"))
+                cols["priority"].extend(g("priority"))
+                cols["news_title"].extend(g("news_title"))
+                cols["news_publication_date"].extend(g("news_publication_date"))
+                cols["news_publication_name"].extend(g("news_publication_name"))
+            out = pd.DataFrame(cols, columns=colnames)
+            out["priority"] = out["priority"].astype("float64")
+            out["sitemap_pos"] = out["sitemap_pos"].astype("int64")
+            yield out
 
     return docs.select("sitemap_url", "content").mapInPandas(_run, ENTRY_SCHEMA)

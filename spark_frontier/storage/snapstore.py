@@ -88,8 +88,11 @@ class SnapTable:
 
     # -- commits --------------------------------------------------------------
 
-    def _write_files(self, df: DataFrame, snapshot_id: str) -> list[str]:
+    def _write_files(self, df: DataFrame, snapshot_id: str,
+                     small: bool = False) -> list[str]:
         out_dir = os.path.join(self.path, "data", snapshot_id)
+        if small:
+            df = df.coalesce(1)  # state tables: one file beats N tiny files
         df.write.mode("overwrite").parquet(out_dir)
         return sorted(
             os.path.join(out_dir, f)
@@ -115,14 +118,16 @@ class SnapTable:
         os.replace(tmp, self._head_path)  # the atomic commit point
         return sid
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> str:
+    def append(self, df: DataFrame, summary: dict | None = None,
+               small: bool = False) -> str:
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
-        new_files = self._write_files(df, sid)
+        new_files = self._write_files(df, sid, small=small)
         return self._commit(self.current_files() + new_files, summary)
 
-    def overwrite(self, df: DataFrame, summary: dict | None = None) -> str:
+    def overwrite(self, df: DataFrame, summary: dict | None = None,
+                  small: bool = False) -> str:
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
-        return self._commit(self._write_files(df, sid), summary)
+        return self._commit(self._write_files(df, sid, small=small), summary)
 
     def merge(
         self,

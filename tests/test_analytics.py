@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_frontier.analytics.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from spark_frontier.analytics.similarity import ann_topk_lsh, cosine_topk
+
+
+def _docs(spark):
+    """Synthetic corpus with KNOWN near-dups: pairs (i, i+100) share most
+    of their text; everything else is distinct."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark executors shuffle data across the cluster during wide stages",
+        "a completely different sentence about cooking pasta with fresh basil",
+        "market prices moved sharply after the central bank policy announcement",
+        "the football match ended with a dramatic penalty in extra time",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t * 3))
+        rows.append((i + 100, (t * 3) + " tiny tail change"))  # near-dup of i
+        rows.append((i + 200, f"unrelated text number {i} " + "filler words " * 10))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact_jaccard(a: str, b: str, n=5) -> float:
+    def grams(t):
+        t = " ".join(t.lower().split())
+        return {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
+
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb)
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_doc_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # whitespace/case-normalized group
+
+
+def test_ngram_jaccard_finds_neardups(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=5, threshold=0.6).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 100) in found
+    # jaccard values match the scalar definition
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    for r in pairs:
+        expect = _exact_jaccard(docs[r["doc_a"]], docs[r["doc_b"]])
+        assert abs(r["jaccard"] - expect) < 1e-9
+
+
+def test_minhash_lsh_recall(spark):
+    """Pairs with true jaccard ≥ 0.7 collide with prob ≈ 98.8% at
+    (num_perm=64, bands=16); all 5 planted pairs must surface."""
+    pairs = minhash_lsh_pairs(
+        _docs(spark), n=5, num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(i, i + 100) for i in range(5)}
+    assert planted <= found
+    # estimates approximate the true jaccard
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    for r in pairs:
+        if (r["doc_a"], r["doc_b"]) in planted:
+            true_j = _exact_jaccard(docs[r["doc_a"]], docs[r["doc_b"]])
+            assert abs(r["jaccard_est"] - true_j) < 0.25
+
+
+def test_simhash_finds_neardups(spark):
+    pairs = simhash_pairs(_docs(spark), max_hamming=6).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(i, i + 100) for i in range(5)}
+    assert len(planted & found) >= 4  # simhash is lossier; ≥4/5 expected
+    # extra pairs are allowed only within the i+200 "filler" family, whose
+    # members genuinely share ~90% of their tokens with each other
+    for a, b in found - planted:
+        assert a >= 200 and b >= 200, (a, b)
+
+
+def _emb(spark, n=200, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_cosine_topk_exact(spark):
+    df, vecs = _emb(spark)
+    q = [float(x) for x in vecs[0]]
+    got = [r["vec_id"] for r in cosine_topk(df.filter("vec_id != 0"), q, k=5).collect()]
+    sims = vecs[1:] @ vecs[0] / (
+        np.linalg.norm(vecs[1:], axis=1) * np.linalg.norm(vecs[0])
+    )
+    expect = (np.argsort(-sims)[:5] + 1).tolist()
+    assert got == expect
+
+
+def test_ann_lsh_overlaps_exact(spark):
+    """LSH recall is only meaningful on CLUSTERED data (uniform random
+    vectors are the adversarial case) — build 10 gaussian clusters and
+    query near one center."""
+    rng = np.random.default_rng(11)
+    dim, per = 16, 30
+    centers = rng.standard_normal((10, dim)) * 4.0
+    vecs = np.concatenate(
+        [centers[c] + rng.standard_normal((per, dim)) * 0.4 for c in range(10)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in (centers[0] + 0.1 * rng.standard_normal(dim))]
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ann_topk_lsh(
+        df, q, k=10, n_planes=8, seed=42
+    ).collect()}
+    assert len(exact & approx) >= 7  # multi-probe LSH recall on clusters

@@ -1,0 +1,80 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from spark_frontier.payload.codec import (
+    decode_image,
+    encode_image,
+    phash64,
+    psnr,
+    synth_pixels,
+)
+from spark_frontier.payload.validate import PSNR_MIN_DB, validate_images
+from spark_frontier.pipeline.synth import gen_images
+
+
+def test_png_lossless_roundtrip():
+    px = synth_pixels(7, 32, 24)
+    assert np.array_equal(decode_image(encode_image(px, "png")), px)
+
+
+def test_lossy_psnr_above_40():
+    px = synth_pixels(7, 32, 24)
+    dec = decode_image(encode_image(px, "jpeg"))
+    p = psnr(px, dec)
+    assert PSNR_MIN_DB < p < 60  # lossy: real error, above the invariant bar
+
+
+def test_psnr_identical_inf():
+    px = synth_pixels(1, 8, 8)
+    assert psnr(px, px) == float("inf")
+
+
+def test_phash_stable_across_lossy_encode():
+    px = synth_pixels(3, 32, 24)
+    dec = decode_image(encode_image(px, "webp"))
+    assert phash64(px) == phash64(dec)  # perceptual hash survives quantization
+
+
+def test_validate_images_spark(spark):
+    pdf = gen_images(12)
+    # corrupt one payload, wrong caption on another
+    pdf.loc[3, "bytes"] = b"garbage"
+    pdf.loc[5, "caption"] = "WRONG"
+    df = spark.createDataFrame(pdf)
+    out = df.withColumn(
+        "v",
+        validate_images(
+            F.col("image_id"), F.col("bytes"), F.col("w"), F.col("h"),
+            F.col("fmt"), F.col("caption"),
+            F.lit(None).cast("string"),
+        ),
+    ).select("image_id", "fmt", "v.*").collect()
+    by_id = {r["image_id"]: r for r in out}
+    assert by_id["img-3"]["is_valid"] is False
+    assert "decode failed" in by_id["img-3"]["reason"]
+    # img-5 has a caption that doesn't match its reference caption — but we
+    # passed ref_caption=None here so it's judged only on pixels
+    ok = [r for r in out if r["image_id"] not in ("img-3",)]
+    assert all(r["is_valid"] for r in ok)
+    # lossy rows carry a real PSNR ≥ 40
+    lossy = [r for r in ok if r["fmt"] in ("jpeg", "webp")]
+    assert lossy and all(r["psnr_db"] >= 40 for r in lossy)
+
+
+def test_validate_caption_equality(spark):
+    pdf = gen_images(4)
+    df = spark.createDataFrame(pdf)
+    out = df.withColumn(
+        "v",
+        validate_images(
+            F.col("image_id"), F.col("bytes"), F.col("w"), F.col("h"),
+            F.col("fmt"),
+            F.when(F.col("image_id") == "img-1", F.lit("tampered"))
+            .otherwise(F.col("caption")),
+            F.col("caption"),
+        ),
+    ).select("image_id", "v.is_valid", "v.reason").collect()
+    by_id = {r["image_id"]: r for r in out}
+    assert by_id["img-1"]["is_valid"] is False
+    assert by_id["img-1"]["reason"] == "caption mismatch"
+    assert by_id["img-0"]["is_valid"] is True

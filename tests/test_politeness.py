@@ -1,0 +1,158 @@
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from spark_frontier.politeness.backoff import (
+    backoff_wait_s,
+    blocked_hosts,
+    empty_host_state,
+    update_host_state,
+)
+from spark_frontier.politeness.ratelimit import assign_deadlines, select_batch
+from spark_frontier.politeness.robots import build_rules_df, robots_allowed
+
+T0 = datetime(2026, 8, 15, 12, 0, 0)
+
+
+def _candidates(spark, n_per_host=6, hosts=("a.com", "b.com")):
+    rows = []
+    for h in hosts:
+        for i in range(n_per_host):
+            rows.append((f"https://{h}/p{i}", h, 0, 0, [0], i))
+    return spark.createDataFrame(
+        rows,
+        "url string, host string, site_seq int, depth int, "
+        "path array<long>, sitemap_pos long",
+    )
+
+
+def test_deadline_spacing_default_rate(spark):
+    """T1: slots per host spaced 1/refill_rate = 2 s apart (rate_limiter.py:19-21)."""
+    out = assign_deadlines(_candidates(spark), None, T0).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for h, rows in by_host.items():
+        rows.sort(key=lambda r: r["host_slot"])
+        for i in range(1, len(rows)):
+            gap = (rows[i]["politeness_deadline"]
+                   - rows[i - 1]["politeness_deadline"]).total_seconds()
+            assert abs(gap - 2.0) < 1e-6, f"{h} gap {gap}"
+    # ordering respects priority (sitemap_pos here)
+    for h, rows in by_host.items():
+        assert [r["sitemap_pos"] for r in rows] == sorted(
+            r["sitemap_pos"] for r in rows
+        )
+
+
+def test_max_per_host_and_selection(spark):
+    scheduled = assign_deadlines(_candidates(spark, n_per_host=10), None, T0,
+                                 max_per_host=4)
+    assert scheduled.groupBy("host").count().agg(F.max("count")).collect()[0][0] == 4
+    # select_batch: only deadlines within the window
+    first = select_batch(scheduled, T0, budget_s=1.0)
+    assert first.groupBy("host").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_rate_limited_host_pushed_past_cooldown(spark):
+    hs = spark.createDataFrame(
+        [("a.com", 0.25, T0 + timedelta(seconds=60), T0 - timedelta(seconds=1),
+          0, [], False)],
+        "host string, refill_rate double, rate_limit_until timestamp, "
+        "last_fetch_ts timestamp, consecutive_failures int, "
+        "recent_codes array<int>, is_blocked boolean",
+    )
+    out = assign_deadlines(_candidates(spark, hosts=("a.com",)), hs, T0).collect()
+    out.sort(key=lambda r: r["host_slot"])
+    # base = rate_limit_until (60 s out); spacing = 1/0.25 = 4 s
+    assert (out[0]["politeness_deadline"] - T0).total_seconds() >= 60
+    gap = (out[1]["politeness_deadline"] - out[0]["politeness_deadline"]).total_seconds()
+    assert abs(gap - 4.0) < 1e-6
+
+
+def test_backoff_block_rule(spark):
+    """T3: ≥5 of {403,429} within last 10 failure codes → blocked
+    (backoff.py:81-89); success resets (backoff.py:51-56)."""
+    hs = empty_host_state(spark)
+    results = spark.createDataFrame(
+        [("bad.com", T0 + timedelta(seconds=i), 429) for i in range(5)]
+        + [("ok.com", T0, 200)]
+        + [("reset.com", T0 + timedelta(seconds=i), c)
+           for i, c in enumerate([429, 429, 429, 429, 200, 429])],
+        "host string, politeness_deadline timestamp, http_code int",
+    )
+    new = {r["host"]: r for r in update_host_state(hs, results, T0).collect()}
+    assert new["bad.com"]["is_blocked"] is True
+    assert new["bad.com"]["consecutive_failures"] == 5
+    assert new["ok.com"]["is_blocked"] is False
+    # success at slot 5 cleared the window; one 429 after → not blocked
+    assert new["reset.com"]["is_blocked"] is False
+    assert new["reset.com"]["consecutive_failures"] == 1
+    assert new["reset.com"]["recent_codes"] == [429]
+    blocked = [r["host"] for r in blocked_hosts(
+        update_host_state(hs, results, T0)).collect()]
+    assert blocked == ["bad.com"]
+
+
+def test_429_halves_rate_and_sets_cooldown(spark):
+    """T2 (rate_limiter.py:97-112): refill halved (floor 0.1), 60 s cooldown."""
+    hs = empty_host_state(spark)
+    results = spark.createDataFrame(
+        [("h.com", T0, 429)],
+        "host string, politeness_deadline timestamp, http_code int",
+    )
+    row = update_host_state(hs, results, T0).collect()[0]
+    assert abs(row["refill_rate"] - 0.25) < 1e-9
+    assert (row["rate_limit_until"] - T0).total_seconds() == 60
+    # halving floors at 0.1
+    hs2 = update_host_state(hs, results, T0)
+    for _ in range(5):
+        hs2 = update_host_state(hs2, results, T0)
+    assert abs(hs2.collect()[0]["refill_rate"] - 0.1) < 1e-9
+
+
+def test_backoff_wait_formula(spark):
+    df = spark.createDataFrame([(1,), (3,)], "n int")
+    out = df.select(backoff_wait_s(F.col("n")).alias("w")).collect()
+    assert [r["w"] for r in out] == [2.0, 8.0]
+
+
+ROBOTS_TXT = """User-agent: googlebot
+Disallow: /g-only/
+
+User-agent: *
+Disallow: /private/
+Disallow: /category/
+Allow: /
+Crawl-delay: 1.5
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_robots_first_match_order(spark):
+    rules = build_rules_df(spark, [("x.com", ROBOTS_TXT), ("empty.com", None)])
+    frontier = spark.createDataFrame(
+        [
+            ("https://x.com/private/a", "x.com"),
+            ("https://x.com/category/b", "x.com"),
+            ("https://x.com/article/c", "x.com"),
+            ("https://x.com/g-only/d", "x.com"),     # other agent's group → allowed
+            ("https://empty.com/anything", "empty.com"),
+            ("https://norobots.com/z", "norobots.com"),
+        ],
+        "url string, host string",
+    )
+    out = {r["url"]: r["robots_allowed"] for r in robots_allowed(frontier, rules).collect()}
+    assert out["https://x.com/private/a"] is False
+    assert out["https://x.com/category/b"] is False
+    assert out["https://x.com/article/c"] is True
+    assert out["https://x.com/g-only/d"] is True
+    assert out["https://empty.com/anything"] is True   # no robots → allow-all
+    assert out["https://norobots.com/z"] is True
+    # crawl-delay extracted (robots_handler.py:62-68)
+    crawl = {r["host"]: r["crawl_delay"]
+             for r in robots_allowed(frontier, rules).select("host", "crawl_delay")
+             .distinct().collect()}
+    assert crawl["x.com"] == 1.5

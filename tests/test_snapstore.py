@@ -1,0 +1,59 @@
+import json
+import os
+
+from spark_frontier.storage import SnapStore
+
+
+def test_append_overwrite_merge_delete(spark, tmp_path):
+    store = SnapStore(str(tmp_path))
+    t = store.table("t")
+    assert not t.exists() and t.read(spark) is None
+
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    t.append(df1, summary={"op": "a1"})
+    assert t.read(spark).count() == 2
+
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert t.read(spark).count() == 3
+
+    # merge: update-on-match + insert
+    batch = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    t.merge(batch, ["k"])
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    # merge insert-only
+    t.merge(spark.createDataFrame([(4, "XX"), (5, "e")], "k long, v string"),
+            ["k"], when_matched="ignore")
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[4] == "d" and rows[5] == "e"
+
+    # row-level delete
+    t.delete_where("k >= 4", spark)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 3]
+
+    # lineage: snapshots chain oldest-first with summaries
+    # (append, append, merge, merge-insert-only, delete = 5 commits)
+    hist = t.history()
+    assert len(hist) == 5
+    assert hist[0]["summary"] == {"op": "a1"}
+
+
+def test_atomic_head_swap(spark, tmp_path):
+    """A reader mid-commit sees either the old or the new snapshot, never a
+    partial state — HEAD flips via os.replace."""
+    store = SnapStore(str(tmp_path))
+    t = store.table("t")
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))
+    head1 = t.snapshot_id
+    files1 = t.current_files()
+    t.overwrite(spark.createDataFrame([(2,), (3,)], "k long"))
+    assert t.snapshot_id != head1
+    # the old snapshot's manifest still resolves (time travel)
+    m = t._manifest(head1)
+    assert m["files"] == files1
+    # a crashed writer: manifest written but HEAD untouched → invisible
+    fake = os.path.join(t.path, "snapshots", "9999999999999-deadbeef.json")
+    with open(fake, "w") as f:
+        json.dump({"snapshot_id": "x", "files": ["/nope"], "summary": {}}, f)
+    assert t.read(spark).count() == 2  # still the committed snapshot

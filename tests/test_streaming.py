@@ -1,0 +1,67 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_frontier.pipeline.crawl import load_world, run_crawl_cycle, seed_seen_store
+from spark_frontier.pipeline.synth import NOW, gen_world
+from spark_frontier.sitemap.expand import expand_sitemap_tree
+from spark_frontier.storage import SnapStore
+from spark_frontier.streaming.microbatch import CANDIDATE_DDL, start_stream_crawl
+
+
+@pytest.fixture(scope="module")
+def world_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("streamworld"))
+    gen_world(d, n_sites=4, urlsets_per_site=2, urls_per_urlset=20)
+    return d
+
+
+def test_stream_crawl_matches_batch(spark, world_dir, tmp_path_factory):
+    """availableNow micro-batches over the candidate stream produce the
+    same final links table as the batch cycle (same world, same seen)."""
+    world = load_world(spark, world_dir)
+    sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
+
+    # batch reference run
+    batch_store = SnapStore(str(tmp_path_factory.mktemp("bstore")))
+    seed_seen_store(batch_store, world["url_seen"])
+    run_crawl_cycle(spark, world, batch_store, batch_ts=NOW, days=7,
+                    max_per_host=10_000)
+
+    # streaming run: materialize candidates (post-recency, pre-dedup) as
+    # the stream source, several files → several micro-batches
+    from spark_frontier.frontier.recency import filter_recent
+
+    entries = expand_sitemap_tree(
+        sites.select("site_id", "site_seq", "sitemap_url"),
+        world["sitemap_pages"],
+    )
+    recent = filter_recent(entries, sites, days=7, now=NOW)
+    cand_dir = str(tmp_path_factory.mktemp("candstream"))
+    cols = [f.split(" ")[0] for f in CANDIDATE_DDL.split(", ")]
+    recent.selectExpr(*[c for c in cols]).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(cand_dir)
+
+    stream_store = SnapStore(str(tmp_path_factory.mktemp("sstore")))
+    seed_seen_store(stream_store, world["url_seen"])
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = start_stream_crawl(
+        spark, cand_dir, world, stream_store, ckpt, batch_ts=NOW,
+        max_per_host=10_000, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    a = batch_store.table("links").read(spark).select("url_key", "url")
+    b = stream_store.table("links").read(spark).select("url_key", "url")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # restart with same checkpoint: no new work, table unchanged
+    n_before = b.count()
+    q2 = start_stream_crawl(
+        spark, cand_dir, world, stream_store, ckpt, batch_ts=NOW,
+        max_per_host=10_000, available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert stream_store.table("links").read(spark).count() == n_before
