@@ -55,13 +55,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _char_ngrams(col, n: int) -> F.Column:
-    """Distinct character n-grams of the normalized text, JVM-side:
-    sequence+transform+substring — no Python."""
-    s = normalize_text(col)
+    """Distinct character n-grams of an ALREADY-NORMALIZED text column,
+    JVM-side: sequence+transform+substring — no Python.
+
+    The input must be a plain column reference (project normalize_text into
+    a column first): Catalyst inlines whatever expression is passed here
+    into the per-element lambda, so a normalize expression would re-run its
+    regexp once per character of every document."""
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1))),
-            lambda i: s.substr(i, F.lit(n)),
+            F.sequence(F.lit(1), F.greatest(F.length(col) - n + 1, F.lit(1))),
+            lambda i: col.substr(i, F.lit(n)),
         )
     )
 
@@ -82,15 +86,20 @@ def ngram_jaccard_pairs(
     grams dominate numerator and denominator alike. The DuckDB oracle in
     __spark_entry__.py applies the identical rule."""
     grams = (
-        docs.select(
-            "doc_id", F.explode(_char_ngrams(F.col(text_col), n)).alias("gram")
-        )
+        docs.select("doc_id", normalize_text(F.col(text_col)).alias("_t"))
+        .select("doc_id", F.explode(_char_ngrams(F.col("_t"), n)).alias("gram"))
         .withColumn("gram", F.xxhash64("gram"))  # shuffle 8 bytes, not strings
+        # materialize once: grams feed the hot-gram agg, the sizes agg, and
+        # BOTH sides of the self-join — recomputing the explode 5× would
+        # dominate the query
+        .localCheckpoint(eager=True)
     )
     n_docs = docs.count()
     df_cap = max(df_cap_min, int(df_cap_frac * n_docs))
     hot = grams.groupBy("gram").count().filter(F.col("count") > df_cap).select("gram")
-    pruned = grams.join(F.broadcast(hot), on="gram", how="left_anti")
+    pruned = grams.join(F.broadcast(hot), on="gram", how="left_anti").localCheckpoint(
+        eager=True
+    )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     pairs = (
         pruned.alias("a")
@@ -150,8 +159,10 @@ def minhash_signatures(
         return pd.Series(out)
 
     grams = docs.select(
+        "doc_id", normalize_text(F.col(text_col)).alias("_t")
+    ).select(
         "doc_id",
-        F.transform(_char_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)).alias(
+        F.transform(_char_ngrams(F.col("_t"), n), lambda g: F.xxhash64(g)).alias(
             "_grams"
         ),
     )
@@ -171,7 +182,9 @@ def minhash_lsh_pairs(
     Jaccard estimate. Collision prob for a pair with true Jaccard s is
     1-(1-s^r)^b — tune bands/num_perm for the target threshold."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col)
+    # signatures feed both sides of the bucket self-join — materialize once
+    sigs = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col
+                              ).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         "signature",
@@ -254,7 +267,9 @@ def simhash_pairs(
             out.append(int(sh.view(np.int64)))
         return pd.Series(out)
 
-    sigs = docs.select("doc_id", _simhash(F.col(text_col)).alias("simhash"))
+    sigs = docs.select(
+        "doc_id", _simhash(F.col(text_col)).alias("simhash")
+    ).localCheckpoint(eager=True)
     chunks = sigs.select(
         "doc_id",
         "simhash",
