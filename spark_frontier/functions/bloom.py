@@ -90,24 +90,30 @@ def build_bloom_segments(
     key_col: str = "url_key",
     n_segments: int = 32,
     bits_per_key: int = 14,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Build per-segment bitmaps from a DataFrame of 64-bit keys.
 
     Distributed: one Arrow batch group per segment. Segment count scales
     with seen-set size so each bitmap stays a few MB (at 10^10 keys pick
     n_segments so m_bits/8 ≈ 8-32 MB per segment).
+
+    ``m_bits``: fix the bitmap size (must be a power of two) so segments
+    built later from DELTA keys can be OR-merged with these
+    (merge_bloom_segments). Default: auto-size from the segment's count
+    with 2× headroom.
     """
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf[key_col].to_numpy(dtype=np.int64)
         n = max(len(keys), 1)
-        m_bits = max(64, 1 << math.ceil(math.log2(n * bits_per_key)))
-        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-        _set_bits(bitmap, keys, m_bits)
+        mb = m_bits or max(64, 1 << math.ceil(math.log2(n * bits_per_key * 2)))
+        bitmap = np.zeros(mb // 8, dtype=np.uint8)
+        _set_bits(bitmap, keys, mb)
         return pd.DataFrame(
             {
                 "seg_id": [int(pdf["seg_id"].iloc[0])],
-                "m_bits": [m_bits],
+                "m_bits": [mb],
                 "n_items": [len(keys)],
                 "bitmap": [bitmap.tobytes()],
             }
@@ -117,6 +123,39 @@ def build_bloom_segments(
         "seg_id", F.pmod(F.col(key_col), F.lit(n_segments)).cast("int")
     )
     return with_seg.groupBy("seg_id").applyInPandas(_build, SEGMENT_SCHEMA)
+
+
+def merge_bloom_segments(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two segment tables (same seg_id space, SAME m_bits per
+    segment — build deltas with ``m_bits`` pinned to the old table's).
+
+    The engine's dedup-exactness invariant is *bloom ⊇ seen keys* (a miss
+    skips the exact anti-join, so a false NEGATIVE would leak a duplicate).
+    Mismatched sizes can't be merged without the original keys, so this
+    RAISES inside the task rather than silently dropping bits; the caller
+    rebuilds from the full seen set instead. FPR (false positives) may
+    degrade as n_items outgrows capacity — that only costs extra anti-join
+    probes, never correctness."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg_id"].iloc[0])
+        sizes = pdf["m_bits"].unique()
+        if len(sizes) != 1:
+            raise ValueError(
+                f"bloom segment {seg}: mismatched m_bits {sizes}; rebuild "
+                "the filter from the full seen set"
+            )
+        acc = np.zeros(int(sizes[0]) // 8, dtype=np.uint8)
+        for b in pdf["bitmap"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {"seg_id": [seg], "m_bits": [int(sizes[0])],
+             "n_items": [int(pdf["n_items"].sum())], "bitmap": [acc.tobytes()]}
+        )
+
+    return old.unionByName(delta).groupBy("seg_id").applyInPandas(
+        _merge, SEGMENT_SCHEMA
+    )
 
 
 def might_contain_udf(spark, segments: DataFrame, n_segments: int):

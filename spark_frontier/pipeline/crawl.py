@@ -254,19 +254,43 @@ def _run_cycle_inner(
     # file list is immutable per snapshot). In-cycle additions are covered
     # by the `attempted` set, so the bloom built here stays valid for the
     # whole cycle — no per-wave rebuild.
+    #
+    # EXACTNESS INVARIANT: bloom ⊇ links keys at all times — a bloom miss
+    # bypasses the exact anti-join, so a missing seen key would leak a
+    # duplicate into the append-only links table. Enforced by (a) committing
+    # each wave's bloom delta BEFORE appending its links rows, and (b)
+    # rebuilding from the full seen set whenever segments are absent or
+    # outgrown (capacity check below; extra bloom keys are harmless).
     seen = links_tbl.read(spark)
     segments = None
+    bloom_m_bits = None
     if seen is None:
         seen = spark.createDataFrame([], "url_key long")
     elif use_bloom:
         segments = bloom_tbl.read(spark)
+        if segments is not None:
+            cap = segments.agg(
+                F.sum("m_bits").alias("mb"), F.sum("n_items").alias("n"),
+                F.count_distinct("m_bits").alias("sizes"),
+            ).collect()[0]
+            if (cap["n"] and cap["n"] * 14 > cap["mb"]) or cap["sizes"] != 1:
+                segments = None  # outgrown/non-uniform → full rebuild
         if segments is None:
+            # UNIFORM m_bits across segments (2× headroom over the current
+            # seen count) so per-wave delta segments can be OR-merged
+            import math as _math
+
+            n_seen = seen.count()
+            per_seg = max(n_seen // bloom_segments, 1)
+            uniform_bits = max(64, 1 << _math.ceil(_math.log2(per_seg * 14 * 2)))
             segments = build_bloom_segments(
-                seen.select("url_key"), n_segments=bloom_segments
+                seen.select("url_key"), n_segments=bloom_segments,
+                m_bits=uniform_bits,
             ).localCheckpoint(eager=True)
             bloom_tbl.overwrite(segments, summary={"op": "bloom_build"},
                                 small=True)
             segments = bloom_tbl.read(spark)
+        bloom_m_bits = segments.agg(F.max("m_bits")).collect()[0][0]
     _tr("bloom_init")
 
     # In-cycle attempted set: the reference iterates its new-URL list ONCE
@@ -336,11 +360,33 @@ def _run_cycle_inner(
         report.fetch_failed += n_wave - n_ok
         report.validation_failed += n_ok - n_valid
 
-        # --- sinks: MERGE links (K1, valid only — reference parity),
-        #     append fetch lineage, host state ----------------------------
-        link_rows = build_link_rows(validated, batch_ts)
-        links_tbl.merge(
-            link_rows.filter(F.col("is_valid")), ["url_key"],
+        # --- sinks (K1, valid only — reference parity) --------------------
+        # The wave was exactly deduped against (seen ∪ attempted), so every
+        # valid key here is NEW — the upsert degenerates to an APPEND (no
+        # O(table) copy-on-write rewrite; Iceberg MOR equivalent).
+        # Bloom delta commits FIRST: on a crash between the two commits the
+        # bloom holds keys links doesn't (harmless extra probes), never the
+        # reverse (which would leak duplicates past the dedup short-circuit).
+        link_rows = build_link_rows(validated, batch_ts).localCheckpoint(
+            eager=True
+        )
+        valid_rows = link_rows.filter(F.col("is_valid"))
+        if use_bloom and segments is not None:
+            from spark_frontier.functions.bloom import merge_bloom_segments
+
+            delta = build_bloom_segments(
+                valid_rows.select("url_key"), n_segments=bloom_segments,
+                m_bits=int(bloom_m_bits),
+            )
+            segments = merge_bloom_segments(segments, delta).localCheckpoint(
+                eager=True
+            )
+            bloom_tbl.overwrite(
+                segments, summary={"op": "bloom_delta", "wave": wave},
+                small=True,
+            )
+        links_tbl.append(
+            valid_rows,
             summary={"op": "wave", "wave": wave, "rows": n_wave,
                      "fetched_ok": n_ok, "valid": n_valid},
         )
@@ -365,17 +411,8 @@ def _run_cycle_inner(
         if n_wave == n_unseen:
             break  # frontier fully drained this wave — skip the empty round
 
-    # refresh the checkpointed bloom once per cycle so the next cycle (or a
-    # resumed run) starts from fresh segments
-    if use_bloom and report.saved:
-        final_seen = links_tbl.read(spark)
-        bloom_tbl.overwrite(
-            build_bloom_segments(
-                final_seen.select("url_key"), n_segments=bloom_segments
-            ),
-            summary={"op": "bloom_refresh", "waves": wave},
-            small=True,
-        )
+    # bloom segments were delta-merged per wave (bloom-before-links order);
+    # a full rebuild happens lazily at next cycle start if capacity outgrown
 
     # --- cycle bookkeeping: log row + last_crawl_at watermark ------------
     log_row = spark.createDataFrame(
