@@ -361,6 +361,95 @@ def q23_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_POOL = ["cricket", "nba", "random", "news", "soccer", "mlb", "tag",
+             "ipl", "quarterback", "update"]
+
+
+def q25_category_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 (category_detector.py:168-191): first URL path segment matching
+    custom categories ≻ keyword-table keys ≻ any keyword, in segment order.
+    JVM-side: one precedence-resolved literal map + transform/filter/get.
+    Synthetic path built deterministically from doc_id on both sides."""
+    from spark_frontier.extract.category import (
+        CATEGORY_KEYWORDS,
+        CUSTOM_CATEGORIES,
+        _KEYWORD_TO_CAT,
+    )
+
+    mapping: dict[str, str] = {}
+    mapping.update(_KEYWORD_TO_CAT)             # keyword → its category
+    for k in CATEGORY_KEYWORDS:
+        mapping[k] = k                          # table keys map to self
+    for c in CUSTOM_CATEGORIES:
+        mapping[c] = c                          # custom cats win
+    seg_map = F.create_map(
+        *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pool = F.array(*[F.lit(s) for s in _SEG_POOL])
+    seg1 = F.element_at(pool, (F.col("doc_id") % 10 + 1).cast("int"))
+    seg2 = F.element_at(
+        pool, (F.floor(F.col("doc_id") / 10) % 10 + 1).cast("int")
+    )
+    segs = F.array(seg1, seg2, F.concat(F.lit("article-"), F.col("doc_id")))
+    hits = F.filter(
+        F.transform(segs, lambda s: seg_map[s]), lambda h: h.isNotNull()
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.get(hits, 0), F.lit("sports")).alias("category"),
+    )
+
+
+def q26_backoff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 (backoff.py:51-108, rate_limiter.py:97-112): the stateful
+    per-host fold — success resets, failure appends, ≥5 of {403,429} in the
+    last 10 failure codes blocks, 429 halves refill rate — applied to an
+    events-derived code stream and checked against a window/dense-SQL
+    oracle."""
+    from datetime import datetime
+
+    from spark_frontier.politeness.backoff import (
+        empty_host_state,
+        update_host_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    results = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias("host"),
+        F.col("ts").alias("politeness_deadline"),
+        F.when(F.col("event_type") == "error", 429)
+        .when(F.col("event_type") == "purchase", 403)
+        .when(F.col("event_type") == "click", 500)
+        .otherwise(200)
+        .cast("int")
+        .alias("http_code"),
+        "event_id",
+    )
+    # make ordering unique: fold order is (deadline, code) struct sort; use
+    # a synthetic strictly-increasing deadline from (ts, event_id) rank
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("politeness_deadline", "event_id")
+    results = results.withColumn(
+        "politeness_deadline",
+        F.timestamp_micros(F.row_number().over(w).cast("long") * 1_000_000),
+    )
+    state = update_host_state(
+        empty_host_state(spark), results,
+        batch_ts=datetime(2026, 8, 15, 12, 0, 0),
+    )
+    return state.select(
+        "host",
+        F.col("consecutive_failures"),
+        F.col("is_blocked"),
+        F.round("refill_rate", 6).alias("refill_rate"),
+        F.concat_ws(",", F.col("recent_codes").cast("array<string>")).alias(
+            "recent_codes_csv"
+        ),
+    )
+
+
 def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth input_hint table → decode → channel stats
     (no driver images table, so the input is generated deterministically)."""
@@ -404,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_lang_id": q18_lang_id,
         "q19_fingerprint": q19_fingerprint,
         "q20_sha_parity": q20_sha_parity,
+        "q25_category_segment": q25_category_segment,
+        "q26_backoff_state": q26_backoff_state,
         "q21_minhash_lsh": q21_minhash_lsh,
         "q22_simhash": q22_simhash,
         "q23_ann_lsh": q23_ann_lsh,
@@ -650,5 +741,91 @@ def oracle_sql() -> dict[str, str]:
         "q20_sha_parity": f"""
             SELECT event_id, sha256({_EVENT_URL_SQL}) AS url_sha FROM events
         """,
+        "q25_category_segment": _q25_oracle(),
+        "q26_backoff_state": _Q26_ORACLE,
         # q21-q24: probabilistic / payload ops — rows-only checks by design
     }
+
+
+def _q25_oracle() -> str:
+    from spark_frontier.extract.category import (
+        CATEGORY_KEYWORDS,
+        CUSTOM_CATEGORIES,
+        _KEYWORD_TO_CAT,
+    )
+
+    mapping: dict[str, str] = {}
+    mapping.update(_KEYWORD_TO_CAT)
+    for k in CATEGORY_KEYWORDS:
+        mapping[k] = k
+    for c in CUSTOM_CATEGORIES:
+        mapping[c] = c
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(mapping.items())
+    )
+    pool = ", ".join(f"'{s}'" for s in _SEG_POOL)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   [ [{pool}][CAST(doc_id % 10 AS INT) + 1],
+                     [{pool}][CAST((doc_id // 10) % 10 AS INT) + 1],
+                     'article-' || CAST(doc_id AS VARCHAR) ] AS segs
+            FROM documents),
+        hits AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(segs, s -> CASE s {cases} END),
+                       h -> h IS NOT NULL) AS h
+            FROM base)
+        SELECT doc_id, COALESCE(h[1], 'sports') AS category FROM hits
+    """
+
+
+_Q26_ORACLE = """
+    WITH coded AS (
+        SELECT 'h' || CAST(user_id % 25 AS VARCHAR) AS host,
+               CASE event_type WHEN 'error' THEN 429 WHEN 'purchase' THEN 403
+                    WHEN 'click' THEN 500 ELSE 200 END AS code,
+               ts, event_id
+        FROM events),
+    ordered AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY ts, event_id)
+                   AS pos,
+               code BETWEEN 200 AND 399 AS ok
+        FROM coded),
+    runs AS (
+        SELECT *, SUM(CASE WHEN ok THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY pos) AS run_id
+        FROM ordered),
+    last_run AS (SELECT host, max(run_id) AS r FROM runs GROUP BY host),
+    fin_fail AS (
+        SELECT r.host, r.code, r.pos,
+               ROW_NUMBER() OVER (PARTITION BY r.host ORDER BY r.pos) AS i
+        FROM runs r JOIN last_run l ON r.host = l.host AND r.run_id = l.r
+        WHERE NOT r.ok),
+    agg AS (
+        SELECT host,
+               count(*) AS cf,
+               bool_or(code IN (403, 429) AND (
+                   SELECT count(*) FROM fin_fail s2
+                   WHERE s2.host = s1.host AND s2.i BETWEEN s1.i - 9 AND s1.i
+                     AND s2.code IN (403, 429)) >= 5) AS is_blocked,
+               list(code ORDER BY i) AS codes
+        FROM fin_fail s1 GROUP BY host),
+    n429 AS (SELECT host, count(*) AS c FROM coded WHERE code = 429
+             GROUP BY host),
+    hosts AS (SELECT DISTINCT host FROM coded)
+    SELECT h.host,
+           CAST(COALESCE(a.cf, 0) AS INT) AS consecutive_failures,
+           COALESCE(a.is_blocked, FALSE) AS is_blocked,
+           round(CASE WHEN COALESCE(n.c, 0) > 0 THEN 0.25 ELSE 0.5 END, 6)
+               AS refill_rate,
+           COALESCE(array_to_string(
+               list_slice(a.codes,
+                          greatest(len(a.codes) - 9, 1), len(a.codes)),
+               ','), '') AS recent_codes_csv
+    FROM hosts h
+    LEFT JOIN agg a USING (host)
+    LEFT JOIN n429 n USING (host)
+"""
