@@ -163,9 +163,16 @@ def _desc_str(c):
     count ties (negate each char's codepoint via a sortable transform)."""
     # struct(n, X) max picks largest n, then largest X — we need smallest
     # event_type, so map it to a descending collation by negating bytes.
-    return F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: -F.ascii(F.substring(c, 1, 0x7FFFFFF).substr(i, F.lit(1))),
+    # A terminator sentinel LARGER than any negated codepoint (+1) is
+    # appended so that on count ties a string that is a strict prefix of
+    # another wins (array [-97, 1] > [-97, -98, 1]), matching SQL's
+    # ORDER BY event_type ASC which ranks 'a' before 'ab'.
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: -F.ascii(F.substring(c, 1, 0x7FFFFFF).substr(i, F.lit(1))),
+        ),
+        F.array(F.lit(1)),
     )
 
 
@@ -819,7 +826,7 @@ _Q26_ORACLE = """
     SELECT h.host,
            CAST(COALESCE(a.cf, 0) AS INT) AS consecutive_failures,
            COALESCE(a.is_blocked, FALSE) AS is_blocked,
-           round(CASE WHEN COALESCE(n.c, 0) > 0 THEN 0.25 ELSE 0.5 END, 6)
+           round(greatest(0.1, 0.5 * power(0.5, COALESCE(n.c, 0))), 6)
                AS refill_rate,
            COALESCE(array_to_string(
                list_slice(a.codes,

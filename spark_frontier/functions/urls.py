@@ -18,17 +18,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+_PCT_RE = None  # compiled lazily (keeps module import free of re cost)
+
+
+def _norm_pct(s: str) -> str:
+    """Normalize percent-escapes per RFC 3986 §6.2.2.1-2: uppercase the hex
+    digits, and decode ONLY unreserved characters ([A-Za-z0-9._~-]).
+    Reserved escapes (%2F, %26, %3D, ...) stay encoded — decoding them
+    would collapse DISTINCT urls onto one canon_url/url_key, and a colliding
+    url anti-joined as 'seen' is permanently dropped from the frontier."""
+    global _PCT_RE
+    if _PCT_RE is None:
+        import re
+
+        _PCT_RE = re.compile("%([0-9A-Fa-f]{2})")
+
+    def repl(m):
+        ch = chr(int(m.group(1), 16))
+        if ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9") \
+                or ch in "-._~":
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
 def _canonicalize_one(url: str) -> str:
     """RFC 3986 syntax-based normalization.
 
     - lowercase scheme and host
     - drop default ports (:80 http, :443 https)
-    - uppercase percent-encoding hex digits; decode unreserved characters
-    - collapse dot-segments in the path
+    - uppercase percent-encoding hex digits; decode unreserved chars ONLY
+      (reserved escapes like %2F are preserved — RFC 3986 §6.2.2.2)
+    - collapse dot-segments in the path (§5.2.4, incl. the trailing-slash
+      rule: '/a/b/..' -> '/a/', not '/a')
     - empty path -> "/"
     - drop fragment
     """
-    from urllib.parse import quote, unquote, urlsplit, urlunsplit
+    from urllib.parse import quote, urlsplit, urlunsplit
 
     try:
         parts = urlsplit(url.strip())
@@ -41,23 +68,27 @@ def _canonicalize_one(url: str) -> str:
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
     ):
         host = f"{host}:{port}"
-    # decode then re-encode: unreserved chars come out decoded, reserved and
-    # non-ascii get uppercase %XX (quote emits uppercase hex)
-    path = quote(unquote(parts.path), safe="/:@!$&'()*+,;=~-._")
-    # remove dot segments (RFC 3986 §5.2.4)
+    # normalize existing escapes (decode unreserved only), then encode any
+    # raw disallowed chars; '%' is in safe so normalized triplets survive
+    path = quote(_norm_pct(parts.path), safe="%/:@!$&'()*+,;=~-._")
+    # remove dot segments (RFC 3986 §5.2.4): a terminal '.'/'..' leaves a
+    # trailing empty segment (i.e. the output keeps its trailing slash)
+    segs = path.split("/")
     out: list[str] = []
-    for seg in path.split("/"):
+    for seg in segs:
         if seg == ".":
             continue
         if seg == "..":
-            if out and out[-1] != "":
+            if len(out) > 1 and out[-1] != "":
                 out.pop()
         else:
             out.append(seg)
+    if segs and segs[-1] in (".", "..") and (not out or out[-1] != ""):
+        out.append("")
     path = "/".join(out)
     if not path.startswith("/"):
         path = "/" + path
-    query = quote(unquote(parts.query), safe="/:@!$&'()*+,;=~-._?&=")
+    query = quote(_norm_pct(parts.query), safe="%/:@!$&'()*+,;=~-._?&=")
     return urlunsplit((scheme, host, path, query, ""))
 
 

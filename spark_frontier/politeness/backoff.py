@@ -134,10 +134,17 @@ def update_host_state(
         ),
     )
 
-    got_429 = F.exists(new_codes, lambda c: c == 429)
+    # T2 (rate_limiter.py:97-112): mark_rate_limited fires PER 429 response,
+    # so k 429s in one batch halve the rate k times (floor MIN_REFILL_RATE).
+    n_429 = F.size(F.filter(new_codes, lambda c: c == 429))
+    got_429 = n_429 > 0
     old_rate = F.coalesce(F.col("refill_rate"), F.lit(DEFAULT_REFILL_RATE))
     new_rate = F.when(
-        got_429, F.greatest(F.lit(MIN_REFILL_RATE), old_rate * F.lit(0.5))
+        got_429,
+        F.greatest(
+            F.lit(MIN_REFILL_RATE),
+            old_rate * F.pow(F.lit(0.5), n_429.cast("double")),
+        ),
     ).otherwise(old_rate)
     new_rl_until = F.when(
         got_429,

@@ -20,6 +20,17 @@ def test_canonicalize_scalar():
     assert _canonicalize_one("http://e.com/%7Euser/%e2%82%ac") == (
         "http://e.com/~user/%E2%82%AC"
     )
+    # RFC 3986 §6.2.2.2: reserved escapes are NOT decoded — '/p%2Fq' and
+    # '/p/q' are distinct resources and must keep distinct url_keys
+    assert _canonicalize_one("https://x.y/p%2Fq") == "https://x.y/p%2Fq"
+    assert _canonicalize_one("https://x.y/p/q") == "https://x.y/p/q"
+    assert _canonicalize_one("https://x.y/a?b=%26c%3Dd") == (
+        "https://x.y/a?b=%26c%3Dd"
+    )
+    # §5.2.4: terminal dot-segments keep the trailing slash
+    assert _canonicalize_one("https://x.y/a/b/..") == "https://x.y/a/"
+    assert _canonicalize_one("https://x.y/a/.") == "https://x.y/a/"
+    assert _canonicalize_one("https://x.y/..") == "https://x.y/"
 
 
 def test_canonicalize_idempotent():
