@@ -408,6 +408,43 @@ def q25_category_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q27_SEG_A = ["news", "story", "cricket", "team-quarterback", "opinion",
+              "nba", "super-bowl", "xyz", "blog", "latest"]
+_Q27_SEG_B = ["item", "post", "update", "recap", "match", "-soccer-bits",
+              "note", "entry", "read", "view"]
+
+
+def q27_category_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6-V9 full precedence chain (category_detector.py:144-206) as wired
+    into the pipeline: forced site focus ≻ URL segment ≻ URL pattern ≻
+    content-score argmax (≥3 gate, dict-order tie-break) ≻ 'sports' — the
+    all-JVM ``with_category`` operator over a synthetic url/title/content
+    grid derived from documents."""
+    from spark_frontier.extract.category import with_category
+
+    docs = _t(spark, sf_dir, "documents")
+    pa_ = F.array(*[F.lit(s) for s in _Q27_SEG_A])
+    pb_ = F.array(*[F.lit(s) for s in _Q27_SEG_B])
+    sega = F.element_at(pa_, (F.col("doc_id") % 10 + 1).cast("int"))
+    segb = F.element_at(
+        pb_, (F.floor(F.col("doc_id") / 10) % 10 + 1).cast("int")
+    )
+    df = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/"), sega, F.lit("/"), segb,
+            F.lit("/article-"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("title"),
+        F.col("text").alias("caption"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("specific"))
+        .otherwise(F.lit("general")).alias("site_type"),
+        F.when(F.col("doc_id") % 14 == 0, F.lit("tennis")).alias("sport_focus"),
+    )
+    return with_category(df).select("doc_id", "sport_category")
+
+
 def q26_backoff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T3 (backoff.py:51-108, rate_limiter.py:97-112): the stateful
     per-host fold — success resets, failure appends, ≥5 of {403,429} in the
@@ -502,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_sha_parity": q20_sha_parity,
         "q25_category_segment": q25_category_segment,
         "q26_backoff_state": q26_backoff_state,
+        "q27_category_chain": q27_category_chain,
         "q21_minhash_lsh": q21_minhash_lsh,
         "q22_simhash": q22_simhash,
         "q23_ann_lsh": q23_ann_lsh,
@@ -750,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q25_category_segment": _q25_oracle(),
         "q26_backoff_state": _Q26_ORACLE,
+        "q27_category_chain": _q27_oracle(),
         # q21-q24: probabilistic / payload ops — rows-only checks by design
     }
 
@@ -785,6 +824,89 @@ def _q25_oracle() -> str:
                        h -> h IS NOT NULL) AS h
             FROM base)
         SELECT doc_id, COALESCE(h[1], 'sports') AS category FROM hits
+    """
+
+
+def _q27_oracle() -> str:
+    """DuckDB twin of the with_category chain: same segment map, same
+    per-category URL alternations (dict order), same 230 per-keyword
+    \\b-regex counts with the ≥3 gate and dict-order argmax tie-break."""
+    from spark_frontier.extract.category import (
+        CATEGORY_KEYWORDS,
+        CUSTOM_CATEGORIES,
+        _KEYWORD_TO_CAT,
+    )
+
+    mapping: dict[str, str] = {}
+    mapping.update(_KEYWORD_TO_CAT)
+    for k in CATEGORY_KEYWORDS:
+        mapping[k] = k
+    for c in CUSTOM_CATEGORIES:
+        mapping[c] = c
+    seg_cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(mapping.items())
+    )
+    url_cases = " ".join(
+        "WHEN regexp_matches(path, '{}') THEN '{}'".format(
+            "|".join(
+                [f"/{cat}", f"-{cat}"]
+                + [kw.replace(" ", "[-_/]") for kw in CATEGORY_KEYWORDS[cat]]
+            ),
+            cat,
+        )
+        for cat in CATEGORY_KEYWORDS
+    )
+    score_exprs = ", ".join(
+        " + ".join(
+            f"len(regexp_extract_all(txt, '\\b{kw}\\b'))"
+            for kw in CATEGORY_KEYWORDS[cat]
+        )
+        + f" AS s_{cat}"
+        for cat in CATEGORY_KEYWORDS
+    )
+    argmax_cases = " ".join(
+        f"WHEN s_{cat} = m THEN '{cat}'" for cat in CATEGORY_KEYWORDS
+    )
+    pool_a = ", ".join(f"'{s}'" for s in _Q27_SEG_A)
+    pool_b = ", ".join(f"'{s}'" for s in _Q27_SEG_B)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   [{pool_a}][CAST(doc_id % 10 AS INT) + 1] AS sega,
+                   [{pool_b}][CAST((doc_id // 10) % 10 AS INT) + 1] AS segb,
+                   'article-' || CAST(doc_id AS VARCHAR) AS segc,
+                   CASE WHEN doc_id % 7 = 0 THEN 'specific'
+                        ELSE 'general' END AS site_type,
+                   CASE WHEN doc_id % 14 = 0 THEN 'tennis' END AS sport_focus,
+                   lower(coalesce(source, '') || ' '
+                         || substr(coalesce(text, ''), 1, 2000)) AS txt
+            FROM documents),
+        resolved AS (
+            SELECT doc_id, txt,
+                   coalesce(
+                       CASE WHEN site_type = 'specific'
+                                 AND sport_focus IS NOT NULL
+                                 AND sport_focus <> ''
+                            THEN sport_focus END,
+                       list_filter(
+                           list_transform([sega, segb, segc],
+                               s -> CASE s {seg_cases} END),
+                           h -> h IS NOT NULL)[1],
+                       CASE {url_cases} END) AS r
+            FROM (SELECT *, '/' || sega || '/' || segb || '/' || segc AS path
+                  FROM base)),
+        scored AS (
+            SELECT doc_id, r, {score_exprs}
+            FROM resolved),
+        mx AS (
+            SELECT *, greatest(s_nfl, s_soccer, s_basketball, s_cricket,
+                               s_mlb) AS m
+            FROM scored)
+        SELECT doc_id,
+               coalesce(r,
+                        CASE WHEN m >= 3 THEN CASE {argmax_cases} END END,
+                        'sports') AS sport_category
+        FROM mx
     """
 
 

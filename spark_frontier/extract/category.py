@@ -165,7 +165,8 @@ def detect_category(
     site_type: Column,
     sport_focus: Column,
 ) -> Column:
-    """Vectorized category detection (Arrow batches)."""
+    """Vectorized category detection (Arrow batches). TEST ORACLE ONLY —
+    the pipeline path is the all-JVM ``with_category`` below."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
@@ -180,5 +181,140 @@ def detect_category(
         )
 
     return _detect(url, title, content, site_type, sport_focus)
+
+
+# ---------------------------------------------------------------------------
+# All-JVM precedence chain (the pipeline hot path — no Python per row)
+
+
+def _segment_map_expr() -> Column:
+    """Literal map for the V6 segment lookup, precedence-resolved
+    (category_detector.py:180-191): custom cats ≻ keyword-table keys ≻
+    keyword→category."""
+    mapping: dict[str, str] = {}
+    mapping.update(_KEYWORD_TO_CAT)
+    for k in CATEGORY_KEYWORDS:
+        mapping[k] = k
+    for c in CUSTOM_CATEGORIES:
+        mapping[c] = c
+    return F.create_map(
+        *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+    )
+
+
+def _url_cat_regex(cat: str) -> str:
+    """One alternation per category ≡ the reference's per-category loop
+    (category_detector.py:78-103): '/{cat}' or '-{cat}' substring, else any
+    keyword with spaces → [-_/]. Keywords contain only [a-z0-9 -], so raw
+    alternation is literal-safe in both Java regex and Python re."""
+    alts = [f"/{cat}", f"-{cat}"]
+    alts += [kw.replace(" ", "[-_/]") for kw in CATEGORY_KEYWORDS[cat]]
+    return "|".join(alts)
+
+
+def segment_category(url: Column) -> Column:
+    """V6 JVM-side: first path segment resolving through the keyword map."""
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    seg_map = _segment_map_expr()
+    hits = F.filter(
+        F.transform(segs, lambda s: seg_map[s]), lambda h: h.isNotNull()
+    )
+    return F.get(hits, 0)
+
+
+def url_pattern_category(url: Column) -> Column:
+    """V7 JVM-side: first category (dict order) whose pattern set matches."""
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    expr = F.lit(None).cast("string")
+    chain = None
+    for cat in CATEGORY_KEYWORDS:
+        cond = path.rlike(_url_cat_regex(cat))
+        chain = F.when(cond, F.lit(cat)) if chain is None else chain.when(
+            cond, F.lit(cat)
+        )
+    return chain.otherwise(expr)
+
+
+def content_text(title: Column, content: Column) -> Column:
+    """The scored text: ``f"{title or ''} {(content or '')[:2000]}".lower()``
+    (category_detector.py:107)."""
+    return F.lower(
+        F.concat_ws(
+            " ",
+            F.coalesce(title, F.lit("")),
+            F.substring(F.coalesce(content, F.lit("")), 1, 2000),
+        )
+    )
+
+
+def content_score_columns(text: Column) -> dict[str, Column]:
+    """V8 JVM-side: per-category keyword-occurrence counts over a
+    pre-materialized text column — one foldable regexp_count per keyword
+    (compiled once by codegen), summed per category. Exact parity with
+    ``len(re.findall(r'\\b'+kw+r'\\b', text))`` since keywords are
+    regex-literal in both engines. ``text`` should be a plain column
+    reference (see with_category) to keep the generated code small."""
+    scores: dict[str, Column] = {}
+    for cat, kws in CATEGORY_KEYWORDS.items():
+        s = None
+        for kw in kws:
+            c = F.regexp_count(text, F.lit(r"\b" + kw + r"\b"))
+            s = c if s is None else s + c
+        scores[cat] = s
+    return scores
+
+
+def with_category(
+    df,
+    url: str = "url",
+    title: str = "title",
+    content: str = "caption",
+    site_type: str = "site_type",
+    sport_focus: str = "sport_focus",
+    out: str = "sport_category",
+):
+    """Full V6-V9 precedence chain (category_detector.py:144-206), all JVM:
+
+        forced focus (site_type='specific') ≻ URL segment ≻ URL pattern ≻
+        content-score argmax (gate ≥ MIN_CONFIDENCE_SCORE) ≻ 'sports'
+
+    Three separate projections: scores are materialized as columns guarded
+    by ``_resolved IS NULL`` (rows settled by the cheap steps never pay the
+    regexp_count pass), and the guard keeps CollapseProject from re-inlining
+    the 230-regex sums into the argmax expression."""
+    u, t, c = F.col(url), F.col(title), F.col(content)
+    forced = F.when(
+        (F.lower(F.coalesce(F.col(site_type), F.lit(""))) == "specific")
+        & F.col(sport_focus).isNotNull()
+        & (F.col(sport_focus) != ""),
+        F.col(sport_focus),
+    )
+    step = df.withColumn(
+        "_resolved",
+        F.coalesce(forced, segment_category(u), url_pattern_category(u)),
+    ).withColumn(
+        "_cs_txt",
+        F.when(F.col("_resolved").isNull(), content_text(t, c)).otherwise(
+            F.lit("")
+        ),
+    )
+    scores = content_score_columns(F.col("_cs_txt"))
+    for cat, s in scores.items():
+        step = step.withColumn(
+            f"_cs_{cat}", F.when(F.col("_resolved").isNull(), s)
+        )
+    score_cols = [F.col(f"_cs_{cat}") for cat in CATEGORY_KEYWORDS]
+    m = F.greatest(*score_cols)
+    argmax = None
+    for cat in CATEGORY_KEYWORDS:  # dict order = python max() tie-break
+        cond = F.col(f"_cs_{cat}") == m
+        argmax = F.when(cond, F.lit(cat)) if argmax is None else argmax.when(
+            cond, F.lit(cat)
+        )
+    content_cat = F.when(m >= F.lit(MIN_CONFIDENCE_SCORE), argmax)
+    return step.withColumn(
+        out, F.coalesce(F.col("_resolved"), content_cat, F.lit("sports"))
+    ).drop("_resolved", "_cs_txt", *[f"_cs_{cat}" for cat in CATEGORY_KEYWORDS])
 
 

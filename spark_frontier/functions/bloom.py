@@ -186,24 +186,85 @@ def might_contain_udf(spark, segments: DataFrame, n_segments: int):
     return might_contain
 
 
+def probe_distributed(
+    frontier: DataFrame,
+    segments: DataFrame,
+    key_col: str = "url_key",
+    n_segments: int = 32,
+) -> DataFrame:
+    """The 10^10-key probe path: NO driver collect, NO bitmap broadcast.
+
+    The frontier is repartitioned on ``seg_id`` and cogrouped with the
+    segment table, so each task holds exactly ONE segment's bitmap (a few
+    MB) while probing that segment's slice of the frontier. At the design
+    point of 10^10 keys × 14 bits ≈ 17.5 GB of bitmap total, the broadcast
+    path would ship all of it to every executor — here each executor only
+    ever materializes the segments it owns. Cost: one shuffle of the
+    frontier keyed on seg_id (bounded per wave by max_per_host).
+
+    Returns frontier + ``_maybe_seen`` boolean."""
+    from pyspark.sql.types import BooleanType as _B
+
+    fr = frontier.withColumn(
+        "_seg_id", F.pmod(F.col(key_col), F.lit(n_segments)).cast("int")
+    )
+    out_schema = StructType(
+        fr.schema.fields + [StructField("_maybe_seen", _B())]
+    )
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(_maybe_seen=pd.Series([], dtype=bool))
+        if right.empty:
+            # no bitmap for this segment → nothing was ever seen there
+            return left.assign(_maybe_seen=False)
+        acc = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+        if len(right) > 1:  # defensive: OR any unmerged delta rows
+            acc = acc.copy()
+            for b in right["bitmap"].iloc[1:]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+        m_bits = int(right["m_bits"].iloc[0])
+        keys = left[key_col].to_numpy(dtype=np.int64)
+        return left.assign(_maybe_seen=_test_bits(acc, keys, m_bits))
+
+    flagged = (
+        fr.groupBy("_seg_id")
+        .cogroup(
+            segments.withColumnRenamed("seg_id", "_seg_id").groupBy("_seg_id")
+        )
+        .applyInPandas(_probe, out_schema)
+    )
+    return flagged.drop("_seg_id")
+
+
 def dedup_unseen(
     frontier: DataFrame,
     seen: DataFrame,
     key_col: str = "url_key",
     segments: DataFrame | None = None,
     n_segments: int = 32,
+    probe: str = "broadcast",
 ) -> DataFrame:
     """Return frontier rows NOT in seen — exactly — using the bloom to
     shrink the anti-join probe side (reference dedup: repository.py:352-369
     batched IN-queries; here one anti-join).
+
+    ``probe='broadcast'`` collects the bitmaps to the driver and probes via
+    a broadcast (right when total bitmap size ≲ executor memory);
+    ``probe='distributed'`` cogroups frontier×segments on seg_id — no
+    driver collect, the 10^10-key path. Both feed the SAME
+    negative-pass-through topology, so exactness never depends on the probe.
 
     With ``segments=None`` falls back to the plain exact anti-join.
     """
     if segments is None:
         return frontier.join(seen.select(key_col), on=key_col, how="left_anti")
 
-    probe = might_contain_udf(frontier.sparkSession, segments, n_segments)
-    flagged = frontier.withColumn("_maybe_seen", probe(F.col(key_col)))
+    if probe == "distributed":
+        flagged = probe_distributed(frontier, segments, key_col, n_segments)
+    else:
+        fn = might_contain_udf(frontier.sparkSession, segments, n_segments)
+        flagged = frontier.withColumn("_maybe_seen", fn(F.col(key_col)))
     definitely_unseen = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_unseen = needs_check.join(

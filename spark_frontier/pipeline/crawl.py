@@ -144,15 +144,36 @@ def fetch_and_validate(
     )
 
 
-def build_link_rows(validated: DataFrame, batch_ts: datetime) -> DataFrame:
-    return (
-        validated.withColumn("title", F.col("news_title"))
-        .withColumn(
-            "published_at",
-            F.coalesce(F.col("news_publication_date"), F.col("lastmod")),
+def build_link_rows(
+    validated: DataFrame, batch_ts: datetime, sites: DataFrame | None = None
+) -> DataFrame:
+    """Link rows for the sink, incl. V6-V9 categorization (the reference
+    categorizes every saved article, crawl_scheduler.py:276-294): broadcast
+    site_type/sport_focus from sites, then the all-JVM precedence chain
+    (forced focus ≻ URL segment ≻ URL pattern ≻ caption score ≻ 'sports')."""
+    from spark_frontier.extract.category import with_category
+
+    rows = validated.withColumn("title", F.col("news_title")).withColumn(
+        "published_at",
+        F.coalesce(F.col("news_publication_date"), F.col("lastmod")),
+    )
+    if sites is not None:
+        rows = rows.join(
+            F.broadcast(sites.select("site_id", "site_type", "sport_focus")),
+            on="site_id",
+            how="left",
         )
-        .withColumn("sport_category", F.lit(None).cast("string"))
-        .withColumn("first_seen_at", F.lit(batch_ts))
+    else:
+        rows = rows.withColumn(
+            "site_type", F.lit(None).cast("string")
+        ).withColumn("sport_focus", F.lit(None).cast("string"))
+    rows = with_category(
+        rows, url="url", title="title", content="caption",
+        site_type="site_type", sport_focus="sport_focus",
+        out="sport_category",
+    )
+    return (
+        rows.withColumn("first_seen_at", F.lit(batch_ts))
         .withColumn("is_valid", F.coalesce(F.col("is_valid"), F.lit(False)))
         .select(*LINK_COLUMNS)
     )
@@ -172,9 +193,14 @@ def run_crawl_cycle(
     salt_buckets: int = 4,
     collect_metrics: bool = True,
     fuse_discovery: bool = False,
+    bloom_probe: str = "broadcast",
 ) -> CycleReport:
     """Run one crawl cycle to frontier exhaustion (or stop_after_wave, for
-    the resume test). Returns funnel counters."""
+    the resume test). Returns funnel counters.
+
+    ``bloom_probe``: 'broadcast' (default; right while total bitmap size
+    fits executor memory) or 'distributed' (cogroup probe, no driver
+    collect — the 10^10-key path)."""
     import os as _os
     import time as _time
 
@@ -198,7 +224,7 @@ def run_crawl_cycle(
         return _run_cycle_inner(
             spark, world, store, batch_ts, days, max_per_host, max_waves,
             use_bloom, bloom_segments, stop_after_wave, salt_buckets,
-            collect_metrics, fuse_discovery, report, _tr,
+            collect_metrics, fuse_discovery, bloom_probe, report, _tr,
         )
     finally:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -210,7 +236,7 @@ def run_crawl_cycle(
 def _run_cycle_inner(
     spark, world, store, batch_ts, days, max_per_host, max_waves, use_bloom,
     bloom_segments, stop_after_wave, salt_buckets, collect_metrics,
-    fuse_discovery, report, _tr,
+    fuse_discovery, bloom_probe, report, _tr,
 ) -> CycleReport:
     sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
     seeds = sites.select("site_id", "site_seq", "sitemap_url")
@@ -309,7 +335,7 @@ def _run_cycle_inner(
             candidates_ckpt = True
         unseen = dedup_unseen(
             candidates, seen.select("url_key"), segments=segments,
-            n_segments=bloom_segments,
+            n_segments=bloom_segments, probe=bloom_probe,
         ).join(attempted, on="url_key", how="left_anti")
 
         # --- blocked-host gate (F10) -------------------------------------
@@ -367,9 +393,9 @@ def _run_cycle_inner(
         # Bloom delta commits FIRST: on a crash between the two commits the
         # bloom holds keys links doesn't (harmless extra probes), never the
         # reverse (which would leak duplicates past the dedup short-circuit).
-        link_rows = build_link_rows(validated, batch_ts).localCheckpoint(
-            eager=True
-        )
+        link_rows = build_link_rows(
+            validated, batch_ts, sites=world["sites"]
+        ).localCheckpoint(eager=True)
         valid_rows = link_rows.filter(F.col("is_valid"))
         if use_bloom and segments is not None:
             from spark_frontier.functions.bloom import merge_bloom_segments

@@ -107,3 +107,48 @@ def test_category_content_scoring_min_confidence():
 
 def test_category_default_sports():
     assert detect_py("https://s.com/news/item", "hello", "world") == "sports"
+
+
+def test_with_category_jvm_matches_python(spark):
+    """The all-JVM with_category chain == detect_py on a fuzz grid covering
+    every precedence branch (forced focus, segment, url-pattern, content
+    argmax incl. ties and the MIN_CONFIDENCE gate, default)."""
+    from spark_frontier.extract.category import detect_py, with_category
+
+    rows = []
+    urls = [
+        "https://s.com/cricket/match",            # segment: custom cat
+        "https://s.com/nba/game",                 # segment: keyword→basketball
+        "https://s.com/news/team-quarterback-x",  # pattern: keyword in segment
+        "https://s.com/x/super-bowl-recap",       # pattern: space→[-_/]
+        "https://s.com/a/-soccer-weekly",         # pattern: -{cat}
+        "https://s.com/plain/item-1",             # falls through to content
+        "https://s.com/plain/item-2",
+        "https://s.com/",                         # empty path
+    ]
+    titles = ["", "Messi and Ronaldo goal striker report", "nfl nfl nfl",
+              "wicket bowler century ipl", "nfl soccer", None]
+    contents = ["", "penalty offside var corner kick", "lbw drs stumped",
+                "home run pitcher strikeout inning bullpen", None]
+    stypes = [None, "specific", "general"]
+    focuses = [None, "tennis", ""]
+    i = 0
+    for u in urls:
+        for t in titles:
+            for c in contents:
+                st = stypes[i % 3]
+                fo = focuses[(i // 3) % 3]
+                rows.append((u, t, c, st, fo))
+                i += 1
+    df = spark.createDataFrame(
+        rows, "url string, title string, caption string, site_type string, "
+              "sport_focus string")
+    got = {
+        (r["url"], r["title"], r["caption"], r["site_type"], r["sport_focus"]):
+            r["sport_category"]
+        for r in with_category(df).collect()
+    }
+    for u, t, c, st, fo in rows:
+        expect = detect_py(u, t, c, st, fo)
+        assert got[(u, t, c, st, fo)] == expect, (u, t, c, st, fo, expect,
+                                                  got[(u, t, c, st, fo)])
