@@ -445,6 +445,30 @@ def q27_category_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_category(df).select("doc_id", "sport_category")
 
 
+def q28_recent_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/K3 (repository.py:507-523 + crawl_logs schema): per-site failure
+    count within the last 24 h of log time — the site-level audit query the
+    per-site crawl_logs rows exist to answer. Events stand in as the log
+    stream (site = user_id % 25, failure = error/click codes)."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cut"))
+    logs = ev.select(
+        F.concat(F.lit("site-"), (F.col("user_id") % 25).cast("string")).alias(
+            "site_id"
+        ),
+        F.when(F.col("event_type") == "error", 429)
+        .when(F.col("event_type") == "click", 500)
+        .otherwise(200).alias("http_code"),
+        "ts",
+    )
+    return (
+        logs.crossJoin(F.broadcast(cutoff))
+        .filter((F.col("http_code") >= 400) & (F.col("ts") > F.col("cut")))
+        .groupBy("site_id")
+        .agg(F.count("*").alias("n_failures"))
+    )
+
+
 def q26_backoff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T3 (backoff.py:51-108, rate_limiter.py:97-112): the stateful
     per-host fold — success resets, failure appends, ≥5 of {403,429} in the
@@ -540,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_category_segment": q25_category_segment,
         "q26_backoff_state": q26_backoff_state,
         "q27_category_chain": q27_category_chain,
+        "q28_recent_failures": q28_recent_failures,
         "q21_minhash_lsh": q21_minhash_lsh,
         "q22_simhash": q22_simhash,
         "q23_ann_lsh": q23_ann_lsh,
@@ -789,7 +814,23 @@ def oracle_sql() -> dict[str, str]:
         "q25_category_segment": _q25_oracle(),
         "q26_backoff_state": _Q26_ORACLE,
         "q27_category_chain": _q27_oracle(),
-        # q21-q24: probabilistic / payload ops — rows-only checks by design
+        "q28_recent_failures": """
+            WITH logs AS (
+                SELECT 'site-' || CAST(user_id % 25 AS VARCHAR) AS site_id,
+                       CASE event_type WHEN 'error' THEN 429
+                            WHEN 'click' THEN 500 ELSE 200 END AS http_code,
+                       ts
+                FROM events)
+            SELECT site_id, count(*) AS n_failures
+            FROM logs
+            WHERE http_code >= 400
+              AND ts > (SELECT max(ts) - INTERVAL 24 HOUR FROM events)
+            GROUP BY site_id
+        """,
+        "q21_minhash_lsh": _q21_oracle(),
+        "q22_simhash": _q22_oracle(),
+        # q23 (multi-probe ANN) / q24 (binary image payloads): rows-only —
+        # q23's probe set and q24's decode are not SQL-expressible
     }
 
 
@@ -824,6 +865,105 @@ def _q25_oracle() -> str:
                        h -> h IS NOT NULL) AS h
             FROM base)
         SELECT doc_id, COALESCE(h[1], 'sports') AS category FROM hits
+    """
+
+
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_W64 = "18446744073709551616"  # 2^64 (numpy uint64 wrap)
+_P61 = "2305843009213693951"   # (1<<61)-1, the minhash prime
+
+
+def _q21_oracle() -> str:
+    """DuckDB twin of minhash_lsh_pairs(n=5, num_perm=64, bands=16,
+    threshold=0.5): identical md5-60-bit gram hashes, identical fixed-seed
+    (a,b) permutation family with uint64-wrapping arithmetic, band
+    candidates via band-signature equality (Spark buckets on
+    xxhash64(slice) — equal buckets ⟺ equal slices modulo hash collision),
+    then the same signature-agreement estimate."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    P = np.uint64((1 << 61) - 1)
+    A = rng.integers(1, P, size=64, dtype=np.uint64)
+    B = rng.integers(0, P, size=64, dtype=np.uint64)
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(A, B))
+    )
+    gram_h = _H60.format(x="g")
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t)-4, 1)+1)) AS i
+                FROM norm),
+        grams AS (SELECT DISTINCT doc_id, substr(t, i::int, 5) AS g
+                  FROM idx),
+        gh AS (SELECT doc_id, {gram_h} AS x FROM grams),
+        perms(pi, a, b) AS (SELECT * FROM (VALUES {perm_rows})),
+        m AS (
+            SELECT doc_id, pi,
+                   min(CAST((((CAST(a AS HUGEINT) * x) % {_W64} + b)
+                             % {_W64}) % {_P61} AS BIGINT)) AS v
+            FROM gh CROSS JOIN perms
+            GROUP BY doc_id, pi),
+        bsig AS (
+            SELECT doc_id, CAST(pi // 4 AS INT) AS band,
+                   list(v ORDER BY pi) AS bs
+            FROM m GROUP BY doc_id, band),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bsig a JOIN bsig b
+              ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) / 64.0 AS e
+            FROM cand c
+            JOIN m ma ON ma.doc_id = c.doc_a
+            JOIN m mb ON mb.doc_id = c.doc_b AND mb.pi = ma.pi
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(e, 6) AS jaccard_est
+        FROM est WHERE e >= 0.5
+    """
+
+
+def _q22_oracle() -> str:
+    """DuckDB twin of simhash_pairs(max_hamming=3): md5-60-bit token
+    hashes, per-bit ±1 vote simhash, 16-bit chunk banding, exact hamming
+    verify via bit_count(xor)."""
+    tok_h = _H60.format(x="tok")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '')) AS tok
+            FROM documents),
+        th AS (SELECT doc_id, {tok_h} AS h FROM toks),
+        v AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit)
+            GROUP BY doc_id, bit),
+        sh0 AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0
+                            THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                            ELSE 0 END) AS simhash
+            FROM v GROUP BY doc_id),
+        sh AS (
+            SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN sh0 s USING (doc_id)),
+        chunks AS (
+            SELECT doc_id, simhash, i AS chunk_idx,
+                   (simhash >> (i * 16)) & 65535 AS chunk_val
+            FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sa, b.simhash AS sb
+            FROM chunks a JOIN chunks b
+              ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """
 
 

@@ -17,9 +17,11 @@ n_chars):
 - simhash_pairs          64-bit SimHash + chunk-banding for hamming ≤ k
 - embedding_neardup      cosine ≥ τ pairs over embeddings (block join)
 
-Each has a ``queries()`` entry in __spark_entry__.py; the deterministic
-ones (exact, ngram-jaccard, embedding) have DuckDB oracles; MinHash/SimHash
-are verified by property tests (recall vs exact Jaccard) instead.
+Each has a ``queries()`` entry in __spark_entry__.py with a DuckDB oracle:
+MinHash/SimHash use a fixed-seed permutation family over md5-60-bit
+hashes, so even the probabilistic operators are bit-reproducible and the
+oracle replays them exactly; property tests additionally check recall vs
+exact Jaccard.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from spark_frontier.storage.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # exact
@@ -92,14 +95,12 @@ def ngram_jaccard_pairs(
         # materialize once: grams feed the hot-gram agg, the sizes agg, and
         # BOTH sides of the self-join — recomputing the explode 5× would
         # dominate the query
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_docs = docs.count()
     df_cap = max(df_cap_min, int(df_cap_frac * n_docs))
     hot = grams.groupBy("gram").count().filter(F.col("count") > df_cap).select("gram")
-    pruned = grams.join(F.broadcast(hot), on="gram", how="left_anti").localCheckpoint(
-        eager=True
-    )
+    pruned = materialize(grams.join(F.broadcast(hot), on="gram", how="left_anti"))
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     pairs = (
         pruned.alias("a")
@@ -128,11 +129,23 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 
 
+def md5_hash60(col) -> F.Column:
+    """60-bit non-negative hash both engines can compute bit-identically:
+    Spark ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+    ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` == Python
+    ``int(md5(x).hexdigest()[:15],16)``. Used where a DuckDB oracle must
+    reproduce the exact hash (minhash grams, simhash tokens); pure-engine
+    paths keep xxhash64 (JVM, faster)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 5, num_perm: int = 64, text_col: str = "text"
 ) -> DataFrame:
     """num_perm minhashes per doc via the standard (a*x+b) mod p family over
-    xxhash64 shingles. Vectorized numpy inside one Arrow UDF batch."""
+    md5-60-bit shingles (DuckDB-reproducible — the q21 oracle replays the
+    identical uint64-wrapping arithmetic). Vectorized numpy inside one
+    Arrow UDF batch."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -162,7 +175,7 @@ def minhash_signatures(
         "doc_id", normalize_text(F.col(text_col)).alias("_t")
     ).select(
         "doc_id",
-        F.transform(_char_ngrams(F.col("_t"), n), lambda g: F.xxhash64(g)).alias(
+        F.transform(_char_ngrams(F.col("_t"), n), lambda g: md5_hash60(g)).alias(
             "_grams"
         ),
     )
@@ -184,7 +197,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     # signatures feed both sides of the bucket self-join — materialize once
     sigs = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col
-                              ).localCheckpoint(eager=True)
+                              ).transform(materialize)
     banded = sigs.select(
         "doc_id",
         "signature",
@@ -243,10 +256,10 @@ def simhash_pairs(
 
     def _stable64(tok: str) -> int:
         # Python's builtin hash() is salted per process → NOT usable on
-        # executors; blake2b is stable everywhere.
-        return int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
-        )
+        # executors. md5-prefix (60-bit, non-negative) so the q22 DuckDB
+        # oracle reproduces it exactly; bits 60-63 of the simhash are
+        # structurally 0 on both sides.
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
 
     @pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -269,7 +282,7 @@ def simhash_pairs(
 
     sigs = docs.select(
         "doc_id", _simhash(F.col(text_col)).alias("simhash")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     chunks = sigs.select(
         "doc_id",
         "simhash",

@@ -49,10 +49,15 @@ def hermetic_fetch(
     batch: DataFrame,
     web_pages: DataFrame,
     batch_ts: datetime,
+    method: str = "GET",
 ) -> DataFrame:
     """Fetch-as-join. batch must carry (url, host, politeness_deadline).
     web_pages: (url, image_id, caption, http_code). URLs absent from the
-    web table behave as connection failures (http_code 0)."""
+    web table behave as connection failures (http_code 0).
+
+    ``method='HEAD'`` (S4, http_client.py:183-203 check_url_availability):
+    availability probe — same status code, NO body (payload columns
+    nulled), so downstream never joins/validates a payload for it."""
     fetched = (
         # explicit shuffle-hash: the web table is too big to broadcast but
         # AQE's post-filter size estimates sometimes flip it to a driver
@@ -61,26 +66,59 @@ def hermetic_fetch(
         .withColumn("http_code", F.coalesce(F.col("http_code"), F.lit(0)).cast("int"))
         .withColumn("fetched_at", F.lit(batch_ts))
         .withColumn("ua", ua_column(F.col("url")))
+        .withColumn("method", F.lit(method))
     )
+    if method == "HEAD":
+        fetched = fetched.withColumn(
+            "image_id", F.lit(None).cast("string")
+        ).withColumn("caption", F.lit(None).cast("string"))
     return fetched
 
 
-def attach_payload(fetched: DataFrame, images: DataFrame) -> DataFrame:
+def head_probe(batch: DataFrame, web_pages: DataFrame,
+               batch_ts: datetime) -> DataFrame:
+    """S4: availability triple (url, available, http_code)."""
+    probed = hermetic_fetch(batch, web_pages, batch_ts, method="HEAD")
+    return probed.select(
+        "url",
+        ((F.col("http_code") >= 200) & (F.col("http_code") < 400)).alias(
+            "available"
+        ),
+        "http_code",
+    )
+
+
+def attach_payload(
+    fetched: DataFrame, images: DataFrame, strategy: str = "auto"
+) -> DataFrame:
     """Join the binary payload LATE (bytes never ride through earlier
     shuffles — SURVEY §7 'keep bytes out of shuffles'). Only 200-rows get a
     payload. images: the input_hint table.
 
+    SIZE-AWARE join strategy — the payload table carries ``bytes:binary``,
+    so force-broadcasting it is a driver-OOM scale trap at the real
+    input_hint table size:
+
+    - ``auto`` (default): plain equi-join; Catalyst plans broadcast from
+      the parquet scan's size stats only when the table is actually under
+      spark.sql.autoBroadcastJoinThreshold, else a shuffle join on
+      image_id (AQE may still convert at runtime). At 100 TB the right
+      layout is the images table bucketed on image_id so this degenerates
+      to a co-located shuffle-free join.
+    - ``broadcast`` / ``shuffle``: explicit override for tests/benchmarks.
+
     ONE left join for all rows (payload columns nulled for non-200) — a
     filter/union split would evaluate the upstream fetch join twice."""
-    ok_code = F.col("http_code") == 200
-    joined = fetched.join(
-        F.broadcast(
-            images.select("image_id", "bytes", "w", "h", "fmt",
-                          F.col("caption").alias("ref_caption"), "phash")
-        ),
-        on="image_id",
-        how="left",
+    payload = images.select(
+        "image_id", "bytes", "w", "h", "fmt",
+        F.col("caption").alias("ref_caption"), "phash",
     )
+    if strategy == "broadcast":
+        payload = F.broadcast(payload)
+    elif strategy == "shuffle":
+        payload = payload.hint("shuffle_hash")
+    ok_code = F.col("http_code") == 200
+    joined = fetched.join(payload, on="image_id", how="left")
     for c in ["bytes", "w", "h", "fmt", "ref_caption", "phash"]:
         joined = joined.withColumn(c, F.when(ok_code, F.col(c)))
     return joined

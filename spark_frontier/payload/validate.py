@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from spark_frontier.payload.codec import decode_image, phash64, psnr, synth_pixels
+from spark_frontier.payload.codec import decode_image, phash64, synth_pixels
 
 PSNR_MIN_DB = 40.0
 LOSSY_FMTS = {"jpeg", "webp"}
@@ -45,20 +45,24 @@ _REF_CACHE_MAX = 4096
 
 
 def _ref_pixels(seed: int, w: int, h: int) -> np.ndarray:
-    """Per-worker reference-pixel cache: the originals store is read once
-    per distinct image per worker, not once per row (synthesizing/fetching
-    reference pixels dominates validation otherwise)."""
+    """Per-worker reference-pixel cache (flattened int16): the originals
+    store is read once per distinct image per worker, not once per row.
+    int16 so the SSE pass below never materializes float64 temporaries —
+    the validator is MEMORY-BANDWIDTH-bound at high core counts, not
+    CPU-bound, so every byte of per-row traffic costs wall time."""
     key = (seed, w, h)
     ref = _REF_CACHE.get(key)
     if ref is None:
         if len(_REF_CACHE) >= _REF_CACHE_MAX:
             _REF_CACHE.clear()
-        ref = synth_pixels(seed, w, h)
+        ref = synth_pixels(seed, w, h).ravel().astype(np.int16)
         _REF_CACHE[key] = ref
     return ref
 
 
 def _validate_one(image_id, data, w, h, fmt, caption, ref_caption) -> tuple:
+    """Single-row reference implementation (kept as the test oracle for the
+    vectorized batch path below)."""
     if caption is None or (isinstance(caption, str) and not caption.strip()):
         return False, "missing caption", None
     if ref_caption is not None and caption != ref_caption:
@@ -72,13 +76,107 @@ def _validate_one(image_id, data, w, h, fmt, caption, ref_caption) -> tuple:
     if pixels.shape[0] != h or pixels.shape[1] != w:
         return False, "dimension mismatch", None
     ref = _ref_pixels(seed_of_image_id(image_id), int(w), int(h))
-    p = psnr(pixels, ref)
+    d = pixels.ravel().astype(np.int16)
+    d -= ref
+    sse = int(np.einsum("i,i->", d, d, dtype=np.int64))
+    p = _psnr_from_sse(sse, d.size)
     if fmt in LOSSY_FMTS:
         if p < PSNR_MIN_DB:
             return False, f"psnr {p:.1f} < {PSNR_MIN_DB}", p
-    elif not np.array_equal(pixels, ref):
+    elif sse != 0:  # lossless: SSE==0 ⟺ np.array_equal
         return False, "lossless pixels differ", p
     return True, None, p
+
+
+def _psnr_from_sse(sse: int, n: int) -> float:
+    if sse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 * n / sse))
+
+
+def _validate_batch(ids, blobs, ws, hs, fmts, caps, refcaps):
+    """Vectorized batch validator. Scalar checks run in numpy/pandas; the
+    pixel pass stacks same-shaped rows into ONE (N, w*h*3) int16 matrix and
+    computes all SSEs with a single einsum — no float64 temporaries, no
+    per-row numpy call overhead. Cuts per-row memory traffic ~4× vs the
+    naive float64 PSNR, which is the difference between scaling with cores
+    and saturating the memory bus (validator profile, round 2)."""
+    n = len(ids)
+    ok = np.ones(n, dtype=bool)
+    reason = np.full(n, None, dtype=object)
+    psnr_out = np.full(n, np.nan)
+
+    # one up-front numpy materialization per column: pandas .iloc in a hot
+    # loop costs ~25 µs/call — 4 columns × N rows of that dwarfs the math
+    ids_arr = ids.to_numpy(dtype=object)
+    blobs_arr = blobs.to_numpy(dtype=object)
+    fmts_arr = fmts.to_numpy(dtype=object)
+    caps_arr = caps.to_numpy(dtype=object)
+    ref_arr = refcaps.to_numpy(dtype=object)
+    for i in range(n):
+        c = caps_arr[i]
+        if c is None or (isinstance(c, str) and not c.strip()):
+            ok[i], reason[i] = False, "missing caption"
+        elif ref_arr[i] is not None and c != ref_arr[i]:
+            ok[i], reason[i] = False, "caption mismatch"
+        elif fmts_arr[i] not in KNOWN_FMTS:
+            ok[i], reason[i] = False, f"unknown format {fmts_arr[i]}"
+
+    # decode pass (zlib is C and GIL-releasing); group rows by pixel count
+    shapes: dict[int, list] = {}
+    decoded: list = [None] * n
+    ws_arr = ws.to_numpy(dtype=np.int64, na_value=0)
+    hs_arr = hs.to_numpy(dtype=np.int64, na_value=0)
+    for i in range(n):
+        if not ok[i]:
+            continue
+        try:
+            px = decode_image(blobs_arr[i])
+        except (ValueError, Exception) as e:
+            ok[i], reason[i] = False, f"decode failed: {e}"
+            continue
+        if px.shape[0] != hs_arr[i] or px.shape[1] != ws_arr[i]:
+            ok[i], reason[i] = False, "dimension mismatch"
+            continue
+        decoded[i] = px
+        shapes.setdefault(px.size, []).append(i)
+
+    # SSE in L3-resident chunks: a full-batch stack would write then re-read
+    # hundreds of MB of DRAM; ~2 MB chunks keep the diff/square/sum pass in
+    # cache. int64 accumulation = exact parity with the per-row oracle.
+    chunk = max(1, (2 << 20) // 2 // max(max(shapes) if shapes else 1, 1))
+    for size, idxs in shapes.items():
+        for c0 in range(0, len(idxs), chunk):
+            sub = idxs[c0:c0 + chunk]
+            stack = np.empty((len(sub), size), dtype=np.int16)
+            for j, i in enumerate(sub):
+                np.subtract(
+                    decoded[i].ravel(),
+                    _ref_pixels(
+                        seed_of_image_id(ids_arr[i]),
+                        int(ws_arr[i]), int(hs_arr[i]),
+                    ),
+                    out=stack[j],
+                    dtype=np.int16,
+                )
+            sse = np.einsum("ij,ij->i", stack, stack, dtype=np.int64)
+            with np.errstate(divide="ignore"):
+                p = 10.0 * np.log10(
+                    np.where(sse > 0, 255.0**2 * size / sse, 1.0)
+                )
+            p = np.where(sse > 0, p, np.inf)
+            for j, i in enumerate(sub):
+                psnr_out[i] = p[j]
+                if fmts_arr[i] in LOSSY_FMTS:
+                    if p[j] < PSNR_MIN_DB:
+                        ok[i] = False
+                        reason[i] = f"psnr {p[j]:.1f} < {PSNR_MIN_DB}"
+                elif sse[j] != 0:
+                    ok[i], reason[i] = False, "lossless pixels differ"
+
+    return pd.DataFrame(
+        {"is_valid": ok, "reason": reason, "psnr_db": psnr_out}
+    )
 
 
 def validate_images(
@@ -119,11 +217,7 @@ def validate_images(
         caps: pd.Series,
         refcaps: pd.Series,
     ) -> pd.DataFrame:
-        out = [
-            _validate_one(i, b, wv, hv, f, c, rc)
-            for i, b, wv, hv, f, c, rc in zip(ids, blobs, ws, hs, fmts, caps, refcaps)
-        ]
-        return pd.DataFrame(out, columns=["is_valid", "reason", "psnr_db"])
+        return _validate_batch(ids, blobs, ws, hs, fmts, caps, refcaps)
 
     rc = ref_caption if ref_caption is not None else F.lit(None).cast("string")
     return _validate(image_id, data, w, h, fmt, caption, rc)

@@ -45,6 +45,7 @@ from spark_frontier.politeness.ratelimit import assign_deadlines, select_batch
 from spark_frontier.politeness.robots import build_rules_df, robots_allowed
 from spark_frontier.sitemap.expand import expand_sitemap_tree
 from spark_frontier.storage import SnapStore
+from spark_frontier.storage.materialize import materialize
 
 LINK_COLUMNS = [
     "site_id", "url", "canon_url", "url_key", "url_hash", "host", "image_id",
@@ -145,7 +146,10 @@ def fetch_and_validate(
 
 
 def build_link_rows(
-    validated: DataFrame, batch_ts: datetime, sites: DataFrame | None = None
+    validated: DataFrame,
+    batch_ts: datetime,
+    sites: DataFrame | None = None,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Link rows for the sink, incl. V6-V9 categorization (the reference
     categorizes every saved article, crawl_scheduler.py:276-294): broadcast
@@ -175,7 +179,7 @@ def build_link_rows(
     return (
         rows.withColumn("first_seen_at", F.lit(batch_ts))
         .withColumn("is_valid", F.coalesce(F.col("is_valid"), F.lit(False)))
-        .select(*LINK_COLUMNS)
+        .select(*LINK_COLUMNS, *(keep or []))
     )
 
 
@@ -256,13 +260,28 @@ def _run_cycle_inner(
     rules = build_rules_df(spark, robots_rows)
     with_robots = robots_allowed(build_candidates(recent), rules)
     candidates = with_robots.filter(F.col("robots_allowed"))
+
+    # Deterministic within-cycle dedupe: the same URL listed by two
+    # sitemaps must enter the frontier ONCE (the links append relies on
+    # wave keys being unique), and the FIRST occurrence in selection order
+    # wins — matching the reference's launch-order contract (SURVEY §3).
+    from pyspark.sql import Window as _W
+
+    _first = _W.partitionBy("url_key").orderBy(
+        "site_seq", "depth", "path", "sitemap_pos"
+    )
+    candidates = (
+        candidates.withColumn("_rn", F.row_number().over(_first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     if fuse_discovery:
         # single-wave drain mode (bench): keep discovery LAZY so canonical-
         # ize/robots/recency fuse into the wave job — one pipeline, no
         # materialization barrier. Wave ≥ 2 checkpoints on entry instead.
         candidates_ckpt = False
     else:
-        candidates = candidates.localCheckpoint(eager=True)
+        candidates = candidates.transform(materialize)
         candidates_ckpt = True
         report.entries_within_days = candidates.count()
     if collect_metrics:
@@ -271,22 +290,56 @@ def _run_cycle_inner(
             ~F.col("robots_allowed")
         ).count()
 
+    def _site_log_rows(df: DataFrame, crawl_type: str, ts) -> DataFrame:
+        """K3 per-site per-phase crawl-log rows (repository.py:473-498;
+        call sites crawl_scheduler.py:164-171,203-211): one row per site
+        per stage with urls_found / new_urls / status."""
+        return df.select(
+            F.lit(ts).alias("ts"),
+            "site_id",
+            F.lit(crawl_type).alias("crawl_type"),
+            F.lit("success").alias("status"),
+            F.lit(None).cast("int").alias("http_code"),
+            F.col("urls_found").cast("long"),
+            F.col("new_urls").cast("long"),
+            F.lit(None).cast("string").alias("error_message"),
+        )
+
     links_tbl = store.table("links")
     host_tbl = store.table("host_state")
     bloom_tbl = store.table("bloom")
     logs_tbl = store.table("crawl_logs")
 
+    # Async state-commit lane: host_state / fetch_log / bloom / watermark
+    # commits don't gate the next wave's reads (their DataFrames stay in
+    # memory for the cycle), so they run on a background thread and only
+    # the links append — the real data commit — stays on the critical
+    # path. All futures are joined before the cycle returns, so the
+    # on-disk state a *completed* cycle leaves behind is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # ONE worker: async commits are ordered (appends to the same table
+    # from two threads would race on the manifest file list, and a later
+    # host-state snapshot must never be overwritten by an earlier one)
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending: list = []
+
+    def _async(fn, *a, **k):
+        pending.append(pool.submit(fn, *a, **k))
+
     # SNAPSHOT-ISOLATED seen set: read ONCE at cycle start (the SnapTable
     # file list is immutable per snapshot). In-cycle additions are covered
     # by the `attempted` set, so the bloom built here stays valid for the
-    # whole cycle — no per-wave rebuild.
+    # whole cycle — waves never touch it.
     #
-    # EXACTNESS INVARIANT: bloom ⊇ links keys at all times — a bloom miss
-    # bypasses the exact anti-join, so a missing seen key would leak a
-    # duplicate into the append-only links table. Enforced by (a) committing
-    # each wave's bloom delta BEFORE appending its links rows, and (b)
-    # rebuilding from the full seen set whenever segments are absent or
-    # outgrown (capacity check below; extra bloom keys are harmless).
+    # EXACTNESS INVARIANT: a bloom miss bypasses the exact anti-join, so
+    # the bloom must be a SUPERSET of the seen set it fronts. Enforced by
+    # provenance, not commit ordering: every bloom commit records the links
+    # snapshot id it covers (``covers_links``); at cycle start a bloom
+    # whose covers_links ≠ the current links HEAD (crash before the bloom
+    # commit, retention delete, ...) is rebuilt from the full seen set.
+    # Extra bloom keys are harmless (extra anti-join probes only).
+    links_snapshot = links_tbl.snapshot_id
     seen = links_tbl.read(spark)
     segments = None
     bloom_m_bits = None
@@ -295,15 +348,18 @@ def _run_cycle_inner(
     elif use_bloom:
         segments = bloom_tbl.read(spark)
         if segments is not None:
-            cap = segments.agg(
-                F.sum("m_bits").alias("mb"), F.sum("n_items").alias("n"),
-                F.count_distinct("m_bits").alias("sizes"),
-            ).collect()[0]
-            if (cap["n"] and cap["n"] * 14 > cap["mb"]) or cap["sizes"] != 1:
-                segments = None  # outgrown/non-uniform → full rebuild
+            if bloom_tbl.summary().get("covers_links") != links_snapshot:
+                segments = None  # stale provenance → full rebuild
+            else:
+                cap = segments.agg(
+                    F.sum("m_bits").alias("mb"), F.sum("n_items").alias("n"),
+                    F.count_distinct("m_bits").alias("sizes"),
+                ).collect()[0]
+                if (cap["n"] and cap["n"] * 14 > cap["mb"]) or cap["sizes"] != 1:
+                    segments = None  # outgrown/non-uniform → full rebuild
         if segments is None:
             # UNIFORM m_bits across segments (2× headroom over the current
-            # seen count) so per-wave delta segments can be OR-merged
+            # seen count) so end-of-cycle delta segments can be OR-merged
             import math as _math
 
             n_seen = seen.count()
@@ -312,10 +368,12 @@ def _run_cycle_inner(
             segments = build_bloom_segments(
                 seen.select("url_key"), n_segments=bloom_segments,
                 m_bits=uniform_bits,
-            ).localCheckpoint(eager=True)
-            bloom_tbl.overwrite(segments, summary={"op": "bloom_build"},
-                                small=True)
-            segments = bloom_tbl.read(spark)
+            ).transform(materialize)
+            _async(
+                bloom_tbl.overwrite, segments,
+                summary={"op": "bloom_build", "covers_links": links_snapshot},
+                small=True,
+            )
         bloom_m_bits = segments.agg(F.max("m_bits")).collect()[0][0]
     _tr("bloom_init")
 
@@ -323,144 +381,222 @@ def _run_cycle_inner(
     # per cycle (crawl_scheduler.py:232-241) — failures are not retried
     # until re-discovered next cycle. Only VALID articles enter the seen
     # store (save_article_link runs after validation, :288-311).
-    attempted = spark.createDataFrame([], "url_key long")
+    attempted = None  # lazy union of per-wave checkpointed url_key slices
 
     from pyspark.sql import Observation
 
-    wave = 0
-    while wave < max_waves:
-        wave += 1
-        if wave == 2 and not candidates_ckpt:
-            candidates = candidates.localCheckpoint(eager=True)
-            candidates_ckpt = True
-        unseen = dedup_unseen(
-            candidates, seen.select("url_key"), segments=segments,
-            n_segments=bloom_segments, probe=bloom_probe,
-        ).join(attempted, on="url_key", how="left_anti")
+    # host state: read once, then carried IN MEMORY between waves (the
+    # table write is resume state only → async)
+    hs = host_tbl.read(spark)
+    if hs is None:
+        hs = empty_host_state(spark)
 
-        # --- blocked-host gate (F10) -------------------------------------
-        hs = host_tbl.read(spark)
-        if hs is None:
-            hs = empty_host_state(spark)
-        obs_unseen = Observation(f"unseen_w{wave}")
-        unseen = unseen.observe(obs_unseen, F.count(F.lit(1)).alias("n")).join(
-            F.broadcast(blocked_hosts(hs)), on="host", how="left_anti"
-        )
+    wave_key_slices: list[DataFrame] = []  # valid keys per wave (for bloom)
+    wave_site_slices: list[DataFrame] = []  # (site_id, is_valid) for K3 logs
+    try:
+        wave = 0
+        while wave < max_waves:
+            wave += 1
+            if wave == 2 and not candidates_ckpt:
+                candidates = candidates.transform(materialize)
+                candidates_ckpt = True
+            unseen = dedup_unseen(
+                candidates, seen.select("url_key"), segments=segments,
+                n_segments=bloom_segments, probe=bloom_probe,
+            )
+            if attempted is not None:
+                unseen = unseen.join(attempted, on="url_key", how="left_anti")
 
-        # --- politeness deadlines + wave selection ----------------------
-        # Drain mode: the wave IS the politeness window (≤ max_per_host per
-        # host, deadlines spaced 1/refill_rate apart). A live deployment
-        # would additionally select_batch(scheduled, wave_ts, trigger_s) to
-        # honor wall clock; logical time keeps tests deterministic.
-        scheduled = assign_deadlines(
-            unseen, hs, batch_ts, max_per_host=max_per_host
-        )
-        wave_batch = scheduled.localCheckpoint(eager=True)
-        _tr(f"wave{wave}_ckpt")
-        n_wave = wave_batch.count()
-        n_unseen = int(obs_unseen.get["n"])  # observed during the same job
-        if wave == 1:
-            report.new_urls_found = n_unseen
-        if n_wave == 0:
-            break
-        report.scheduled += n_wave
-        report.waves = wave
-        attempted = attempted.unionByName(
-            wave_batch.select("url_key")
-        ).localCheckpoint(eager=True)
+            # --- blocked-host gate (F10) ---------------------------------
+            obs_unseen = Observation(f"unseen_w{wave}")
+            unseen = unseen.observe(
+                obs_unseen, F.count(F.lit(1)).alias("n")
+            ).join(F.broadcast(blocked_hosts(hs)), on="host", how="left_anti")
 
-        # --- fetch (salted for hot hosts) + payload + validation --------
-        obs_v = Observation(f"valid_w{wave}")
-        validated = fetch_and_validate(
-            wave_batch, world, batch_ts, salt_buckets
-        ).observe(
-            obs_v,
-            F.sum(F.when(F.col("http_code") == 200, 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid"),
-        ).localCheckpoint(eager=True)
+            # --- politeness deadlines + wave selection --------------------
+            # Drain mode: the wave IS the politeness window (≤ max_per_host
+            # per host, deadlines spaced 1/refill_rate apart). A live
+            # deployment would additionally select_batch(scheduled, wave_ts,
+            # trigger_s) to honor wall clock; logical time keeps tests
+            # deterministic.
+            scheduled = assign_deadlines(
+                unseen, hs, batch_ts, max_per_host=max_per_host
+            )
 
-        _tr(f"wave{wave}_validate")
-        n_ok = int(obs_v.get["ok"] or 0)
-        n_valid = int(obs_v.get["valid"] or 0)
-        report.fetched += n_ok
-        report.fetch_failed += n_wave - n_ok
-        report.validation_failed += n_ok - n_valid
+            # --- ONE materialization per wave: dedup → schedule → fetch →
+            # validate → categorize, counters observed in the same job.
+            # (Round-1 ran 4 checkpoints + 4 commits per wave; the serial
+            # barrier tail was the measured scaling-efficiency killer.)
+            obs_v = Observation(f"valid_w{wave}")
+            rows_full = fetch_and_validate(
+                scheduled, world, batch_ts, salt_buckets
+            )
+            rows_full = build_link_rows(
+                rows_full, batch_ts, sites=world["sites"],
+                keep=["politeness_deadline"],
+            ).observe(
+                obs_v,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("http_code") == 200, 1).otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid"),
+            ).transform(materialize)
+            _tr(f"wave{wave}_materialize")
 
-        # --- sinks (K1, valid only — reference parity) --------------------
-        # The wave was exactly deduped against (seen ∪ attempted), so every
-        # valid key here is NEW — the upsert degenerates to an APPEND (no
-        # O(table) copy-on-write rewrite; Iceberg MOR equivalent).
-        # Bloom delta commits FIRST: on a crash between the two commits the
-        # bloom holds keys links doesn't (harmless extra probes), never the
-        # reverse (which would leak duplicates past the dedup short-circuit).
-        link_rows = build_link_rows(
-            validated, batch_ts, sites=world["sites"]
-        ).localCheckpoint(eager=True)
-        valid_rows = link_rows.filter(F.col("is_valid"))
-        if use_bloom and segments is not None:
+            n_wave = int(obs_v.get["n"] or 0)
+            n_unseen = int(obs_unseen.get["n"])
+            n_ok = int(obs_v.get["ok"] or 0)
+            n_valid = int(obs_v.get["valid"] or 0)
+            if wave == 1:
+                report.new_urls_found = n_unseen
+            if n_wave == 0:
+                break
+            report.scheduled += n_wave
+            report.waves = wave
+            report.fetched += n_ok
+            report.fetch_failed += n_wave - n_ok
+            report.validation_failed += n_ok - n_valid
+            report.saved += n_valid
+
+            # --- sinks (K1, valid only — reference parity) -----------------
+            # The wave was exactly deduped against (seen ∪ attempted), so
+            # every valid key is NEW — the upsert degenerates to an APPEND
+            # (no O(table) copy-on-write rewrite; Iceberg MOR equivalent).
+            valid_rows = rows_full.filter(F.col("is_valid")).select(*LINK_COLUMNS)
+            links_tbl.append(
+                valid_rows,
+                summary={"op": "wave", "wave": wave, "rows": n_wave,
+                         "fetched_ok": n_ok, "valid": n_valid},
+            )
+            _tr(f"wave{wave}_links_append")
+            wave_key_slices.append(
+                rows_full.filter(F.col("is_valid")).select("url_key")
+            )
+            _async(
+                store.table("fetch_log").append,
+                rows_full.select("url", "url_key", "host", "http_code",
+                                 "is_valid", "invalid_reason", "first_seen_at"),
+                summary={"op": "fetch_lineage", "wave": wave, "rows": n_wave},
+            )
+
+            if collect_metrics:
+                wave_site_slices.append(rows_full.select("site_id", "is_valid"))
+
+            # host-state fold: carried in memory for the next wave; the
+            # table commit is crash-resume state → async
+            hs = update_host_state(
+                hs,
+                rows_full.select("host", "politeness_deadline", "http_code"),
+                batch_ts,
+            ).transform(materialize)
+            _tr(f"wave{wave}_hoststate")
+
+            if stop_after_wave is not None and wave >= stop_after_wave:
+                break
+            if n_wave == n_unseen:
+                break  # frontier fully drained — skip the empty round
+            slice_df = rows_full.select("url_key")
+            attempted = (
+                slice_df if attempted is None
+                else attempted.unionByName(slice_df)
+            )
+
+        # --- end-of-cycle bloom: one delta merge covering the cycle's new
+        # keys, committed with the FINAL links snapshot id as provenance.
+        # (Waves never consult the bloom for in-cycle keys — `attempted`
+        # covers those — so per-wave bloom commits would be pure overhead.)
+        if use_bloom and segments is not None and wave_key_slices:
+            from functools import reduce
+
             from spark_frontier.functions.bloom import merge_bloom_segments
 
+            new_keys = reduce(lambda a, b: a.unionByName(b), wave_key_slices)
             delta = build_bloom_segments(
-                valid_rows.select("url_key"), n_segments=bloom_segments,
-                m_bits=int(bloom_m_bits),
+                new_keys, n_segments=bloom_segments, m_bits=int(bloom_m_bits)
             )
-            segments = merge_bloom_segments(segments, delta).localCheckpoint(
-                eager=True
-            )
-            bloom_tbl.overwrite(
-                segments, summary={"op": "bloom_delta", "wave": wave},
+            segments = materialize(merge_bloom_segments(segments, delta))
+            _async(
+                bloom_tbl.overwrite, segments,
+                summary={"op": "bloom_delta",
+                         "covers_links": links_tbl.snapshot_id},
                 small=True,
             )
-        links_tbl.append(
-            valid_rows,
-            summary={"op": "wave", "wave": wave, "rows": n_wave,
-                     "fetched_ok": n_ok, "valid": n_valid},
+            _tr("bloom_delta")
+
+        # host-state: ONE commit per cycle (the reference loses this state
+        # entirely on restart — rate_limiter.py:16-24; we persist the
+        # cycle-final fold; a mid-cycle crash resumes with the previous
+        # cycle's politeness state, which only ever *over*-throttles)
+        if report.waves > 0:
+            _async(host_tbl.overwrite, hs,
+                   summary={"op": "host_state", "waves": report.waves},
+                   small=True)
+
+        # --- per-site per-phase crawl logs (K3 parity) --------------------
+        if collect_metrics and wave_site_slices:
+            from functools import reduce as _reduce
+
+            per_site = _reduce(
+                lambda a, b: a.unionByName(b), wave_site_slices
+            ).groupBy("site_id").agg(
+                F.count("*").alias("urls_found"),
+                F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias(
+                    "new_urls"
+                ),
+            )
+            sitemap_phase = candidates.groupBy("site_id").agg(
+                F.count("*").alias("urls_found"),
+                F.lit(None).cast("long").alias("new_urls"),
+            )
+            _async(
+                logs_tbl.append,
+                _site_log_rows(sitemap_phase, "sitemap", batch_ts).unionByName(
+                    _site_log_rows(per_site, "article", batch_ts)
+                ),
+                summary={"op": "site_logs"},
+                small=True,
+            )
+
+        # --- cycle bookkeeping: log row + last_crawl_at watermark --------
+        # (tiny driver-literal tables → local pyarrow commits, no Spark job)
+        import pandas as _pd
+
+        # cycle-level row conforms to the per-site schema; the full funnel
+        # counter set rides in the snapshot SUMMARY (north_rule lineage)
+        log_pdf = _pd.DataFrame(
+            [
+                {
+                    "ts": batch_ts,
+                    "site_id": None,
+                    "crawl_type": "cycle",
+                    "status": "ok",
+                    "http_code": None,
+                    "urls_found": int(report.scheduled),
+                    "new_urls": int(report.saved),
+                    "error_message": None,
+                }
+            ]
+        ).astype({"site_id": "string", "crawl_type": "string",
+                  "status": "string", "error_message": "string",
+                  "http_code": "Int32", "urls_found": "int64",
+                  "new_urls": "int64"})
+        logs_tbl.append_local(log_pdf, summary=report.as_dict())
+
+        sites_updated = world["sites"].withColumn(
+            "last_crawl_at",
+            F.when(F.col("is_active"), F.lit(batch_ts)).otherwise(
+                F.col("last_crawl_at")
+            ),
         )
-        _tr(f"wave{wave}_merge")
-        store.table("fetch_log").append(
-            link_rows.select("url", "url_key", "host", "http_code", "is_valid",
-                             "invalid_reason", "first_seen_at"),
-            summary={"op": "fetch_lineage", "wave": wave, "rows": n_wave},
-        )
-        report.saved += n_valid
-
-        new_state = update_host_state(
-            hs, validated.select("host", "politeness_deadline", "http_code"),
-            batch_ts,
-        )
-        host_tbl.overwrite(new_state, summary={"op": "host_state", "wave": wave},
-                           small=True)
-        _tr(f"wave{wave}_hoststate")
-
-        if stop_after_wave is not None and wave >= stop_after_wave:
-            break
-        if n_wave == n_unseen:
-            break  # frontier fully drained this wave — skip the empty round
-
-    # bloom segments were delta-merged per wave (bloom-before-links order);
-    # a full rebuild happens lazily at next cycle start if capacity outgrown
-
-    # --- cycle bookkeeping: log row + last_crawl_at watermark ------------
-    log_row = spark.createDataFrame(
-        [
-            {
-                "crawl_type": "cycle",
-                "status": "ok",
-                "ts": batch_ts,
-                **{k: int(v) for k, v in report.as_dict().items()
-                   if isinstance(v, (int, float))},
-            }
-        ]
-    )
-    logs_tbl.append(log_row, summary=report.as_dict(), small=True)
-    _tr("bookkeeping")
-
-    sites_updated = world["sites"].withColumn(
-        "last_crawl_at",
-        F.when(F.col("is_active"), F.lit(batch_ts)).otherwise(F.col("last_crawl_at")),
-    )
-    store.table("sites").overwrite(sites_updated, summary={"op": "watermark"},
-                                   small=True)
+        _async(store.table("sites").overwrite, sites_updated,
+               summary={"op": "watermark"}, small=True)
+        _tr("bookkeeping")
+    finally:
+        # join the async commit lane: a cycle only RETURNS once all its
+        # state commits are durable (same end state as the serial version)
+        pool.shutdown(wait=True)
+        for f in pending:
+            f.result()
+    _tr("async_drain")
     return report
 
 

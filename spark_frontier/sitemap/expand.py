@@ -9,7 +9,7 @@ trees are shallow, ≤ ~5 levels in practice); each level
   fetch (join vs the page table / fetch UDF) → parse (Arrow cascade)
   → split index-rows from url-rows → anti-join the processed set
   → enqueue children.
-Every per-level DataFrame is localCheckpoint()ed to truncate lineage so the
+Every per-level DataFrame is materialize()d to truncate lineage so the
 loop does not build an ever-deeper plan.
 
 ORDERING CONTRACT (SURVEY.md §3): the reference appends children to the end
@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_frontier.sitemap.parser import parse_sitemaps
+from spark_frontier.storage.materialize import materialize
 
 
 def expand_sitemap_tree(
@@ -57,10 +58,10 @@ def expand_sitemap_tree(
             F.lit(0).alias("depth"),
             F.array().cast("array<long>").alias("path"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # processed seen-set (tracker.py:49-51) — cycle safety
-    processed = worklist.select("sitemap_url").localCheckpoint(eager=True)
+    processed = worklist.select("sitemap_url").transform(materialize)
     results: list[DataFrame] = []
 
     n_pending = 1  # seeds are non-empty by construction
@@ -86,7 +87,7 @@ def expand_sitemap_tree(
             ),
             on="sitemap_url",
             how="inner",
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         results.append(entries.filter(~F.col("is_index")).drop("is_index"))
 
         children = (
@@ -101,7 +102,7 @@ def expand_sitemap_tree(
             .join(processed, on="sitemap_url", how="left_anti")
             .dropDuplicates(["sitemap_url"])
         )
-        worklist = children.localCheckpoint(eager=True)
+        worklist = children.transform(materialize)
         n_pending = worklist.count()  # one cheap job on the checkpointed level
         # processed stays lazy: built from checkpointed levels only, so its
         # lineage is one union per level (no extra materialization job)

@@ -124,6 +124,34 @@ class SnapTable:
         new_files = self._write_files(df, sid, small=small)
         return self._commit(self.current_files() + new_files, summary)
 
+    def _write_files_local(self, pdf, snapshot_id: str) -> list[str]:
+        """Driver-local parquet write via pyarrow — for tiny state/metrics
+        tables (a crawl-log row, the sites watermark) a full Spark write
+        job is 1-2 s of pure scheduling overhead per commit; this is ~1 ms.
+        On a real cluster this is the Iceberg client committing a tiny
+        data file directly, same semantics."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self.path, "data", snapshot_id)
+        os.makedirs(out_dir, exist_ok=True)
+        p = os.path.join(out_dir, "part-00000.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), p,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        return [p]
+
+    def append_local(self, pdf, summary: dict | None = None) -> str:
+        """Append a driver-local pandas frame as one commit (no Spark job)."""
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        files = self._write_files_local(pdf, sid)
+        return self._commit(self.current_files() + files, summary)
+
+    def overwrite_local(self, pdf, summary: dict | None = None) -> str:
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        return self._commit(self._write_files_local(pdf, sid), summary)
+
     def overwrite(self, df: DataFrame, summary: dict | None = None,
                   small: bool = False) -> str:
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"

@@ -1,36 +1,52 @@
-"""Structured Streaming crawl path (T8/T9, SURVEY.md §2.4).
+"""Structured Streaming crawl path (T8/T9, SURVEY.md §2.4) + K5 trigger.
 
 Reference: the crawler re-runs every 10 minutes via APScheduler
 (/root/reference/src/scheduler/crawl_scheduler.py:57-76) with per-site
 ``last_crawl_at`` watermarks (repository.py:173-181) dropping already-seen
-time ranges.
+time ranges, and every saved article firing a webhook / Redis queue push
+(/root/reference/src/pipeline/trigger.py:29-116).
 
 Spark shape: frontier *candidates* (parsed sitemap url-rows) arrive as a
 file stream; each micro-batch runs the dedup → politeness → fetch →
-validate → MERGE tail through ``foreachBatch`` (sinks are MERGE-shaped, so
-foreachBatch is the correct sink primitive — streaming MERGE is exactly
-this pattern on Iceberg too). The watermark on ``lastmod`` drops late
-entries older than the configured lateness bound, mirroring F2's cutoff
-semantics in event time.
+validate → append tail through ``foreachBatch`` (the sinks are
+table-commit-shaped, so foreachBatch is the correct sink primitive — the
+same pattern drives streaming MERGE on Iceberg).
+
+RECENCY: a ``withWatermark`` on the source would be a NO-OP here —
+watermarks only drop rows at *stateful* operators, and this query is
+stateless foreachBatch. F2's cutoff parity is therefore an EXPLICIT filter
+inside the micro-batch (``filter_recent`` — the same operator the batch
+cycle uses), against ``batch_ts - days``.
+
+SINK INVARIANT (same as the batch cycle): each micro-batch is exactly
+deduped against the committed seen set before fetching, so every valid row
+is NEW and the upsert degenerates to an APPEND — no O(table) copy-on-write
+MERGE per micro-batch. Crash-replay of a micro-batch re-reads the seen set
+(now containing its own earlier commit) and the anti-join removes the
+replayed keys: idempotent.
 
 Triggers:
 - ``availableNow=True``  → drain-what-exists (tests, catch-up runs)
 - ``processingTime='10 minutes'`` → the reference's cycle cadence, live
 
-Spark's checkpointLocation gives exactly-once *source* progress; the sink
-is idempotent anyway (MERGE on url_key), so a crash between source
-checkpoint and table commit re-processes at most one micro-batch with
-identical results — same story as the batch waves.
+K5: ``on_saved(saved_rows, batch_id)`` fires after each commit with the
+batch's saved (valid) rows collected — the webhook / queue-push seam. The
+reference POSTs per article and LPUSHes a Redis queue; a deployment drops
+``requests.post`` / ``redis.lpush`` into the callback. Failures in the
+hook must not poison the stream (reference logs-and-continues,
+trigger.py:60-66), so exceptions are swallowed after counting.
 """
 
 from __future__ import annotations
 
 from datetime import datetime
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_frontier.frontier.priority import build_candidates
+from spark_frontier.frontier.recency import filter_recent
 from spark_frontier.functions.bloom import dedup_unseen
 from spark_frontier.pipeline.crawl import (
     build_link_rows,
@@ -43,6 +59,7 @@ from spark_frontier.politeness.backoff import (
 )
 from spark_frontier.politeness.ratelimit import assign_deadlines
 from spark_frontier.storage import SnapStore
+from spark_frontier.storage.materialize import materialize
 
 # the parsed-entry schema as it lands in the candidate stream directory
 CANDIDATE_DDL = (
@@ -60,23 +77,31 @@ def start_stream_crawl(
     store: SnapStore,
     checkpoint_dir: str,
     batch_ts: datetime,
-    lateness: str = "7 days",
+    days: int = 7,
     max_per_host: int = 64,
     available_now: bool = True,
     trigger_interval: str = "10 minutes",
+    on_saved: Callable[[list, int], None] | None = None,
 ):
-    """Start the streaming crawl; returns the StreamingQuery."""
+    """Start the streaming crawl; returns the StreamingQuery.
+
+    ``on_saved``: K5 hook — called with (saved_rows, batch_id) after each
+    micro-batch commit; saved_rows is the collected list of valid link
+    rows (url, url_key, sport_category, caption, published_at).
+    """
     src = (
         spark.readStream.schema(CANDIDATE_DDL)
         .option("maxFilesPerTrigger", 4)
         .parquet(candidates_dir)
-        .withWatermark("lastmod", lateness)
     )
+    sites = world["sites"]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        candidates = build_candidates(batch_df)
+        # F2 recency parity — EXPLICIT filter (see module docstring)
+        recent = filter_recent(batch_df, sites, days=days, now=batch_ts)
+        candidates = build_candidates(recent)
         links_tbl = store.table("links")
         seen = links_tbl.read(spark)
         if seen is None:
@@ -88,25 +113,44 @@ def start_stream_crawl(
             F.broadcast(blocked_hosts(hs)), on="host", how="left_anti"
         )
         wave = assign_deadlines(unseen, hs, batch_ts, max_per_host=max_per_host)
-        validated = fetch_and_validate(wave, world, batch_ts).localCheckpoint(
-            eager=True
-        )
-        n = validated.count()
+        rows_full = build_link_rows(
+            fetch_and_validate(wave, world, batch_ts),
+            batch_ts,
+            sites=sites,
+            keep=["politeness_deadline"],
+        ).transform(materialize)
+        n = rows_full.count()
         if n == 0:
             return
-        link_rows = build_link_rows(validated, batch_ts)
-        links_tbl.merge(
-            link_rows.filter(F.col("is_valid")),
-            ["url_key"],
-            summary={"op": "stream_batch", "batch_id": int(batch_id), "rows": n},
+        from spark_frontier.pipeline.crawl import LINK_COLUMNS
+
+        valid_rows = rows_full.filter(F.col("is_valid")).select(*LINK_COLUMNS)
+        # dedup-before-fetch ⇒ every valid key is new ⇒ APPEND, not MERGE
+        links_tbl.append(
+            valid_rows,
+            summary={"op": "stream_batch", "batch_id": int(batch_id),
+                     "rows": n},
         )
         host_tbl.overwrite(
             update_host_state(
-                hs, validated.select("host", "politeness_deadline", "http_code"),
+                hs,
+                rows_full.select("host", "politeness_deadline", "http_code"),
                 batch_ts,
             ),
             summary={"op": "host_state_stream", "batch_id": int(batch_id)},
+            small=True,
         )
+        if on_saved is not None:
+            saved = valid_rows.select(
+                "url", "url_key", "sport_category", "caption", "published_at"
+            ).collect()
+            if saved:
+                try:
+                    on_saved(saved, int(batch_id))
+                except Exception:
+                    # K5 parity: notification failure never fails the crawl
+                    # (trigger.py:60-66 logs and continues)
+                    pass
 
     writer = (
         src.writeStream.foreachBatch(_process)

@@ -78,3 +78,25 @@ def test_validate_caption_equality(spark):
     assert by_id["img-1"]["is_valid"] is False
     assert by_id["img-1"]["reason"] == "caption mismatch"
     assert by_id["img-0"]["is_valid"] is True
+
+
+def test_attach_payload_strategies_agree(spark):
+    """Size-aware payload join: broadcast / shuffle / auto produce the
+    same rows (VERDICT r1: never force-broadcast a binary-payload table)."""
+    from spark_frontier.fetch.fetcher import attach_payload
+    from spark_frontier.pipeline.synth import gen_images
+
+    images = spark.createDataFrame(gen_images(16))
+    fetched = spark.createDataFrame(
+        [(f"img-{i % 20}", 200 if i % 3 else 404, f"u{i}") for i in range(40)],
+        "image_id string, http_code int, url string",
+    )
+    outs = {}
+    for s in ("auto", "broadcast", "shuffle"):
+        rows = attach_payload(fetched, images, strategy=s).select(
+            "url", "image_id", "w", "h", "fmt", "ref_caption"
+        ).collect()
+        outs[s] = sorted((r["url"], r["w"], r["fmt"], r["ref_caption"])
+                         for r in rows)
+    assert outs["auto"] == outs["broadcast"] == outs["shuffle"]
+    assert len(outs["auto"]) == 40

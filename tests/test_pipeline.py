@@ -97,3 +97,74 @@ def test_retention_reopens_urls(spark, world, tmp_path_factory):
     retention_cleanup(store, spark, now=NOW, ttl_days=2)
     after = store.table("links").read(spark).count()
     assert after < before  # stale seen rows expired → re-crawlable (T10 quirk)
+
+
+def test_categories_and_site_logs_and_head(spark, world, tmp_path_factory):
+    """Round-2 additions: every saved link carries a non-null
+    sport_category (V6-V9 wired); crawl_logs has per-site per-phase rows
+    (K3 parity); HEAD probe returns availability without a payload (S4)."""
+    store = _fresh_store(tmp_path_factory)
+    seed_seen_store(store, world["url_seen"])
+    report = run_crawl_cycle(spark, world, store, batch_ts=NOW, days=7)
+
+    links = store.table("links").read(spark)
+    saved = links.filter(F.col("is_valid") & F.col("site_id").isNotNull())
+    assert saved.filter(F.col("sport_category").isNull()).count() == 0
+    # forced-focus parity: specific sites (site_type='specific', focus set)
+    # must carry exactly their sport_focus
+    specific = saved.join(
+        world["sites"].filter(
+            (F.col("site_type") == "specific")
+            & F.col("sport_focus").isNotNull()
+        ).select("site_id", "sport_focus"),
+        on="site_id",
+    )
+    assert specific.count() > 0
+    assert specific.filter(
+        F.col("sport_category") != F.col("sport_focus")
+    ).count() == 0
+
+    logs = store.table("crawl_logs").read(spark)
+    phases = {r["crawl_type"] for r in logs.select("crawl_type").distinct().collect()}
+    assert {"sitemap", "article", "cycle"} <= phases
+    art = logs.filter(F.col("crawl_type") == "article")
+    assert art.count() > 1  # per SITE, not per cycle
+    assert art.agg(F.sum("new_urls")).collect()[0][0] == report.saved
+
+    # S4 HEAD probe: availability, no payload columns
+    from spark_frontier.fetch.fetcher import head_probe
+
+    batch = spark.createDataFrame(
+        [(r["url"],) for r in world["web_pages"].limit(50).collect()], "url string"
+    )
+    probes = head_probe(batch, world["web_pages"], NOW).collect()
+    assert len(probes) == 50
+    assert any(p["available"] for p in probes)
+    codes = {p["http_code"] for p in probes}
+    assert codes <= {0, 200, 403, 404, 429, 500}
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path_factory, monkeypatch):
+    """SPARK_FRONTIER_RELIABLE_CKPT=1 swaps localCheckpoint for
+    storage-backed checkpoints (cluster-safe: blocks survive executor
+    loss); cycle output is identical."""
+    d = str(tmp_path_factory.mktemp("ckptworld"))
+    gen_world(d, n_sites=4, urlsets_per_site=2, urls_per_urlset=15)
+    world = load_world(spark, d)
+
+    base = _fresh_store(tmp_path_factory)
+    seed_seen_store(base, world["url_seen"])
+    run_crawl_cycle(spark, world, base, batch_ts=NOW, days=7)
+
+    monkeypatch.setenv("SPARK_FRONTIER_RELIABLE_CKPT", "1")
+    monkeypatch.setenv(
+        "SPARK_FRONTIER_CKPT_DIR", str(tmp_path_factory.mktemp("ckpt"))
+    )
+    rel = _fresh_store(tmp_path_factory)
+    seed_seen_store(rel, world["url_seen"])
+    run_crawl_cycle(spark, world, rel, batch_ts=NOW, days=7)
+
+    a = base.table("links").read(spark).select("url_key", "is_valid")
+    b = rel.table("links").read(spark).select("url_key", "is_valid")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0

@@ -65,3 +65,40 @@ def test_stream_crawl_matches_batch(spark, world_dir, tmp_path_factory):
     )
     q2.awaitTermination(120)
     assert stream_store.table("links").read(spark).count() == n_before
+
+
+def test_stream_k5_trigger_hook(spark, world_dir, tmp_path_factory):
+    """K5 (trigger.py:29-116): every saved article fires the on_saved hook;
+    hook failures never fail the stream."""
+    world = load_world(spark, world_dir)
+    sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
+    from spark_frontier.frontier.recency import filter_recent
+
+    entries = expand_sitemap_tree(
+        sites.select("site_id", "site_seq", "sitemap_url"),
+        world["sitemap_pages"],
+    )
+    recent = filter_recent(entries, sites, days=7, now=NOW)
+    cand_dir = str(tmp_path_factory.mktemp("candk5"))
+    cols = [f.split(" ")[0] for f in CANDIDATE_DDL.split(", ")]
+    recent.selectExpr(*cols).repartition(3).write.mode("overwrite").parquet(
+        cand_dir
+    )
+    store = SnapStore(str(tmp_path_factory.mktemp("k5store")))
+    seed_seen_store(store, world["url_seen"])
+
+    pushed = []
+
+    def hook(rows, batch_id):
+        pushed.extend(rows)
+        raise RuntimeError("webhook down")  # must not fail the stream
+
+    q = start_stream_crawl(
+        spark, cand_dir, world, store, str(tmp_path_factory.mktemp("ck")),
+        batch_ts=NOW, max_per_host=10_000, available_now=True, on_saved=hook,
+    )
+    q.awaitTermination(300)
+    seeded = world["url_seen"].count()
+    total = store.table("links").read(spark).count()
+    assert len(pushed) == total - seeded  # one push per saved article
+    assert all(r["sport_category"] is not None for r in pushed)
