@@ -31,6 +31,12 @@ def main() -> int:
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--run-once", action="store_true",
+                   help="reference cli.py run-once: discover 7 d but only "
+                        "process entries within 2 d "
+                        "(crawl_scheduler.py:367-372)")
+    p.add_argument("--process-days", type=int, default=2,
+                   help="processing window for --run-once")
     p.add_argument("--batch-ts", default=None,
                    help="ISO timestamp for logical time (default: now UTC)")
     p.add_argument("--cleanup-ttl-days", type=int, default=None,
@@ -80,6 +86,7 @@ def main() -> int:
         spark, world, store, batch_ts=batch_ts, days=args.days,
         max_per_host=args.max_per_host, use_bloom=not args.no_bloom,
         salt_buckets=args.salt_buckets,
+        process_within_days=args.process_days if args.run_once else None,
     )
     if args.cleanup_ttl_days is not None:
         retention_cleanup(store, spark, now=batch_ts,

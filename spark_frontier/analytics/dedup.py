@@ -320,22 +320,52 @@ def simhash_pairs(
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, block_col: str | None = "label"
+    embeddings: DataFrame, threshold: float = 0.95,
+    block_col: str | None = "label", lsh_planes: int = 16,
+    lsh_bands: int = 4,
 ) -> DataFrame:
     """Cosine ≥ τ pairs. Blocked self-join (same ``block_col``) when a
-    blocking key exists; else full cross within size limits. Dot products
+    blocking key exists; WITHOUT one, hyperplane-LSH banding replaces the
+    would-be cross join (the 100 TB path): signatures are split into
+    ``lsh_bands`` bands and pairs sharing ANY band become candidates
+    (OR-amplification — near-parallel vectors agree on most sign bits, so
+    recall at high τ is high), then exact cosine verifies. Dot products
     via zip_with/aggregate — JVM-side, no Python."""
     e = embeddings.select(
         F.col("vec_id"),
         F.col("embedding"),
         *( [F.col(block_col)] if block_col else [] ),
     )
-    join_on = [block_col] if block_col else []
     a, b = e.alias("a"), e.alias("b")
-    if join_on:
-        pairs = a.join(b, on=join_on).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    if block_col:
+        pairs = a.join(b, on=[block_col]).filter(
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
     else:
-        pairs = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        from spark_frontier.analytics.similarity import hyperplane_signatures
+
+        dim = len(embeddings.select("embedding").first()["embedding"])
+        sigs = materialize(hyperplane_signatures(
+            e, n_planes=lsh_planes, dim=dim, vec_col="embedding",
+            id_col="vec_id",
+        ))
+        bits_per_band = lsh_planes // lsh_bands
+        mask = (1 << bits_per_band) - 1
+        banded = sigs.select(
+            "vec_id", "embedding",
+            F.posexplode(
+                F.array(*[
+                    F.shiftright(F.col("bucket"), i * bits_per_band)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(lsh_bands)
+                ])
+            ).alias("band", "band_sig"),
+        )
+        pairs = (
+            banded.alias("a")
+            .join(banded.alias("b"), on=["band", "band_sig"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        )
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
                    lambda x, y: x * y),
@@ -346,7 +376,7 @@ def embedding_neardup_pairs(
         F.aggregate(F.col(f"{side}.embedding"), F.lit(0.0).cast("double"),
                     lambda acc, v: acc + v * v)
     )
-    return (
+    out = (
         pairs.withColumn("cosine", dot / (norm("a") * norm("b")))
         .filter(F.col("cosine") >= threshold)
         .select(
@@ -355,3 +385,7 @@ def embedding_neardup_pairs(
             "cosine",
         )
     )
+    if not block_col:
+        # a pair sharing several bands verified several times → dedupe
+        out = out.dropDuplicates(["vec_a", "vec_b"])
+    return out

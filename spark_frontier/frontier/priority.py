@@ -58,10 +58,15 @@ def salted_repartition(
         "#", F.col("host"), F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
     )
     if num_partitions is None:
-        # default to one partition per core: python-UDF stages pay a fixed
-        # per-task worker cost, so more-but-tinier tasks anti-scale
+        # tasks-per-core granularity: >1 gives the scheduler slack to
+        # rebalance around stragglers (host noise, skewed salt buckets) at
+        # the price of a small per-task python-worker cost; tunable because
+        # the right value is workload-dependent (SPARK_FRONTIER_TASKS_PER_CORE)
+        import os
+
+        t = int(os.environ.get("SPARK_FRONTIER_TASKS_PER_CORE", "1"))
         sc = df.sparkSession.sparkContext
-        num_partitions = sc.defaultParallelism
+        num_partitions = sc.defaultParallelism * max(t, 1)
     return df.repartition(num_partitions, salt_key)
 
 

@@ -16,11 +16,15 @@ snapshot summary (diagnose_pipeline.py:38-53 parity), which is the
 north_rule's per-batch lineage.
 
 RESUMABILITY: a cycle processes the frontier in WAVES (max_per_host per
-host per wave). Each wave ends in atomic commits; a kill between commits
-loses at most one uncommitted wave, and re-running the cycle is idempotent
-because dedup anti-joins the committed seen-store and MERGE upserts on
-url_key. ``test_pipeline_resume.py`` kills after wave 1 and proves the
-final links table equals the uninterrupted run's.
+host per wave). Each wave's links append is an atomic commit on the
+critical path; secondary state (host_state, fetch_log, bloom, watermark)
+commits on a single-worker async lane that is fully drained before the
+cycle returns. A kill loses at most one uncommitted wave, and re-running
+the cycle is idempotent because dedup anti-joins the committed seen-store;
+a bloom whose ``covers_links`` provenance doesn't match the links HEAD is
+rebuilt, so no crash ordering can leak a duplicate past the bloom
+short-circuit. ``test_resume_equals_uninterrupted`` kills after wave 1 and
+proves the final links table equals the uninterrupted run's.
 """
 
 from __future__ import annotations
@@ -198,13 +202,20 @@ def run_crawl_cycle(
     collect_metrics: bool = True,
     fuse_discovery: bool = False,
     bloom_probe: str = "broadcast",
+    process_within_days: int | None = None,
+    report: CycleReport | None = None,
 ) -> CycleReport:
     """Run one crawl cycle to frontier exhaustion (or stop_after_wave, for
     the resume test). Returns funnel counters.
 
     ``bloom_probe``: 'broadcast' (default; right while total bitmap size
     fits executor memory) or 'distributed' (cogroup probe, no driver
-    collect — the 10^10-key path)."""
+    collect — the 10^10-key path).
+
+    ``process_within_days``: the reference's run-once quirk
+    (crawl_scheduler.py:367-372): DISCOVER with ``days`` (7) but re-filter
+    to entries within this many days (2) before processing; undated
+    entries pass (is_within_days returns True on parse failure)."""
     import os as _os
     import time as _time
 
@@ -223,12 +234,16 @@ def run_crawl_cycle(
     # a following cycle would otherwise run under needless memory pressure.
     _pre_rdds = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
-    report = CycleReport()
+    # callers may pass a CycleReport to watch funnel counters mid-cycle
+    # from another thread (EP3 status surface, api/controller.py)
+    if report is None:
+        report = CycleReport()
     try:
         return _run_cycle_inner(
             spark, world, store, batch_ts, days, max_per_host, max_waves,
             use_bloom, bloom_segments, stop_after_wave, salt_buckets,
-            collect_metrics, fuse_discovery, bloom_probe, report, _tr,
+            collect_metrics, fuse_discovery, bloom_probe,
+            process_within_days, report, _tr,
         )
     finally:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -240,7 +255,7 @@ def run_crawl_cycle(
 def _run_cycle_inner(
     spark, world, store, batch_ts, days, max_per_host, max_waves, use_bloom,
     bloom_segments, stop_after_wave, salt_buckets, collect_metrics,
-    fuse_discovery, bloom_probe, report, _tr,
+    fuse_discovery, bloom_probe, process_within_days, report, _tr,
 ) -> CycleReport:
     sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
     seeds = sites.select("site_id", "site_seq", "sitemap_url")
@@ -275,6 +290,14 @@ def _run_cycle_inner(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if process_within_days is not None:
+        # run-once quirk (crawl_scheduler.py:367-372): discover 7 d,
+        # PROCESS only ≤ process_within_days; undated → True (F3)
+        eff = F.coalesce(F.col("lastmod"), F.col("news_publication_date"))
+        dd = F.datediff(F.lit(batch_ts).cast("date"), F.to_date(eff))
+        candidates = candidates.filter(
+            eff.isNull() | dd.between(0, process_within_days)
+        )
     if fuse_discovery:
         # single-wave drain mode (bench): keep discovery LAZY so canonical-
         # ize/robots/recency fuse into the wave job — one pipeline, no

@@ -82,23 +82,48 @@ def assign_deadlines(
         F.coalesce(F.col("rate_limit_until"), batch),
     )
 
-    # Two-phase exact top-k when the wave cap is small (the production
-    # politeness path): phase 1 ranks within (host, salt) partitions and
-    # keeps ≤ max_per_host per salt — a superset of the true per-host
-    # top-k — so phase 2's exact per-host window sorts ≤ salt·k rows
-    # instead of the host's whole frontier (hot hosts would otherwise
-    # single-task-sort millions of rows).
+    n_salt = 16
     if max_per_host <= 4096:
-        n_salt = 16
+        # Two-phase EXACT top-k (the production capped-selection path):
+        # phase 1 ranks within (host, salt) partitions and keeps
+        # ≤ max_per_host per salt — a superset of the true per-host top-k —
+        # so phase 2's exact per-host window sorts ≤ salt·k rows instead of
+        # the host's whole frontier. Slot order == priority order (the
+        # reference's launch-order contract, SURVEY §3).
         pre_w = Window.partitionBy(
             "host", F.pmod(F.xxhash64("url"), F.lit(n_salt))
         ).orderBy("site_seq", "depth", "path", "sitemap_pos")
         candidates = candidates.withColumn(
             "_pre_rank", F.row_number().over(pre_w)
         ).filter(F.col("_pre_rank") <= max_per_host).drop("_pre_rank")
-
-    w = Window.partitionBy("host").orderBy("site_seq", "depth", "path", "sitemap_pos")
-    slot = F.row_number().over(w)
+        w = Window.partitionBy("host").orderBy(
+            "site_seq", "depth", "path", "sitemap_pos"
+        )
+        slot = F.row_number().over(w)
+    else:
+        # DRAIN path (cap ≫ frontier): every row is selected, so slots only
+        # need to be DISTINCT per host with ≥ 1/rate spacing — the schedule
+        # is equally polite for any slot permutation. A single per-host
+        # window would sort the hottest host in ONE task (a core-count-
+        # independent straggler at any scale), so slots interleave salted
+        # sub-ranks: slot = (rank_within(host,salt) − 1)·n_salt + salt + 1.
+        # Distinct per host, monotone within each salt, no join and no
+        # second pass over the (expensive, UDF-bearing) upstream. The
+        # capped path above keeps exact priority order where selection
+        # (and thus ordering parity) actually depends on it.
+        candidates = candidates.withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt))
+        )
+        sub_w = Window.partitionBy("host", "_salt").orderBy(
+            "site_seq", "depth", "path", "sitemap_pos"
+        )
+        candidates = candidates.withColumn(
+            "_pre_rank", F.row_number().over(sub_w)
+        )
+        slot = (
+            (F.col("_pre_rank") - 1) * F.lit(n_salt) + F.col("_salt") + 1
+        ).cast("int")
+        w = None
 
     # deterministic jitter (T4/T5 reproducibility: SURVEY §3 ordering contract)
     jitter = (
@@ -118,7 +143,8 @@ def assign_deadlines(
                 F.unix_micros(base) + (offset_s * F.lit(1_000_000)).cast("long")
             ),
         )
-        .drop("refill_rate", "rate_limit_until", "last_fetch_ts")
+        .drop("refill_rate", "rate_limit_until", "last_fetch_ts", "_salt",
+              "_pre_rank", "_off")
     )
 
 

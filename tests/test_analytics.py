@@ -125,3 +125,62 @@ def test_ann_lsh_overlaps_exact(spark):
         df, q, k=10, n_planes=8, seed=42
     ).collect()}
     assert len(exact & approx) >= 7  # multi-probe LSH recall on clusters
+
+
+def test_ann_persisted_index_matches_scan_variant(spark, tmp_path_factory):
+    """build_ann_index + ann_query (persisted signatures, the 100 TB path)
+    returns the same candidates as the scan-time ann_topk_lsh."""
+    from spark_frontier.analytics.similarity import (
+        ann_query,
+        ann_topk_lsh,
+        build_ann_index,
+    )
+    from spark_frontier.storage import SnapStore
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((6, 16))
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(20):
+            v = base[c] + rng.standard_normal(16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in base[2]]
+
+    store = SnapStore(str(tmp_path_factory.mktemp("annstore")))
+    build_ann_index(emb, store, n_planes=8, dim=16)
+    got = ann_query(spark, store, q, k=10)
+    want = ann_topk_lsh(emb, q, k=10, n_planes=8)
+    a = [(r["vec_id"], round(r["cosine"], 6)) for r in got.collect()]
+    b = [(r["vec_id"], round(r["cosine"], 6)) for r in want.collect()]
+    assert a == b and len(a) == 10
+
+
+def test_embedding_neardup_unblocked_lsh(spark):
+    """block_col=None path: LSH banding instead of a cross join; finds the
+    planted near-dup pairs at high threshold."""
+    from spark_frontier.analytics.dedup import embedding_neardup_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    rows = []
+    vid = 0
+    expected = set()
+    for c in range(15):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        dup = v + rng.standard_normal(16) * 0.01  # planted near-dup
+        rows.append((vid + 1, [float(x) for x in dup]))
+        expected.add((vid, vid + 1))
+        vid += 2
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(emb, threshold=0.98, block_col=None)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    # all planted pairs found (recall), nothing below threshold (verify)
+    assert expected <= got
