@@ -72,6 +72,12 @@ def assign_deadlines(
 
     rate = F.coalesce(F.col("refill_rate"), F.lit(DEFAULT_REFILL_RATE))
     interval_s = F.lit(1.0) / rate
+    if "crawl_delay" in candidates.columns:
+        # robots Crawl-delay (T7, robots_handler.py:62-68): a host's
+        # declared delay wins over the token-bucket interval when longer
+        interval_s = F.greatest(
+            interval_s, F.coalesce(F.col("crawl_delay"), F.lit(0.0))
+        )
     batch = F.lit(batch_ts)
     base = F.greatest(
         batch,

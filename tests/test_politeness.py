@@ -156,3 +156,37 @@ def test_robots_first_match_order(spark):
              for r in robots_allowed(frontier, rules).select("host", "crawl_delay")
              .distinct().collect()}
     assert crawl["x.com"] == 1.5
+
+
+def test_drain_mode_slots_valid_schedule(spark):
+    """Uncapped (drain) politeness path: salted interleaved slots are
+    DISTINCT per host and deadlines are spaced >= 1/refill_rate apart —
+    a valid schedule for any slot permutation (no single-task hot-host
+    sort; see ratelimit.py drain path)."""
+    from spark_frontier.politeness.ratelimit import assign_deadlines
+
+    rows = []
+    for i in range(5000):  # one hot host + two small ones
+        host = "hot.com" if i % 10 < 8 else ("a.com" if i % 2 else "b.com")
+        rows.append((f"https://{host}/p{i}", host, 0, 0, [0], i))
+    df = spark.createDataFrame(
+        rows, "url string, host string, site_seq int, depth int, "
+              "path array<long>, sitemap_pos long")
+    out = assign_deadlines(df, None, T0, max_per_host=10_000_000)
+    assert out.count() == 5000  # nothing dropped
+    import pyspark.sql.functions as F
+
+    # distinct slots per host
+    dup = out.groupBy("host", "host_slot").count().filter("count > 1")
+    assert dup.count() == 0
+    # per-host deadline spacing >= 1/0.5 = 2 s between CONSECUTIVE slots
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("politeness_deadline")
+    gaps = out.withColumn(
+        "prev", F.lag("politeness_deadline").over(w)
+    ).filter(F.col("prev").isNotNull()).select(
+        (F.unix_micros("politeness_deadline") - F.unix_micros("prev")
+         ).alias("gap_us")
+    )
+    assert gaps.filter(F.col("gap_us") < 2_000_000).count() == 0
