@@ -829,8 +829,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q21_minhash_lsh": _q21_oracle(),
         "q22_simhash": _q22_oracle(),
-        # q23 (multi-probe ANN) / q24 (binary image payloads): rows-only —
-        # q23's probe set and q24's decode are not SQL-expressible
+        "q23_ann_lsh": _q23_oracle(),
+        # q24 (binary image payloads): rows-only — decode isn't
+        # SQL-expressible
     }
 
 
@@ -964,6 +965,51 @@ def _q22_oracle() -> str:
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+
+def _q23_oracle() -> str:
+    """DuckDB twin of ann_topk_lsh(k=10, n_planes=12, seed=42): the
+    seed-42 hyperplane matrix is a deterministic float64 literal (VALUES
+    table, shortest-roundtrip repr so both engines parse the identical
+    doubles); signature bit i = sign(v·h_i); the multi-probe set {qsig} ∪
+    hamming-1 neighbors is exactly ``bit_count(bucket XOR qsig) <= 1``;
+    then the same exact cosine top-k as q15 over the candidate slice."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((12, 64))
+    plane_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(12)
+    )
+    return f"""
+        WITH planes(pi, vec) AS (SELECT * FROM (VALUES {plane_rows})),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        sigs AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[],
+                                                    p.vec) > 0
+                            THEN (CAST(1 AS BIGINT) << p.pi) ELSE 0 END)
+                       AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id),
+        qsig AS (
+            SELECT sum(CASE WHEN list_inner_product(p.vec, q.qv) > 0
+                            THEN (CAST(1 AS BIGINT) << p.pi) ELSE 0 END) AS s
+            FROM planes p, q),
+        cand AS (
+            SELECT s.vec_id FROM sigs s, qsig
+            WHERE bit_count(xor(s.bucket, qsig.s)) <= 1)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+                   AS cosine
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                 e.vec_id
+        LIMIT 10
     """
 
 

@@ -88,8 +88,12 @@ def ngram_jaccard_pairs(
     in corpus size. Near-dup pairs keep high scores because their rare
     grams dominate numerator and denominator alike. The DuckDB oracle in
     __spark_entry__.py applies the identical rule."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
     grams = (
         docs.select("doc_id", normalize_text(F.col(text_col)).alias("_t"))
+        # spread the explode+hash across cores: a small-file parquet scan
+        # is one task, and this stage does the gram-count-dominated work
+        .repartition(par)
         .select("doc_id", F.explode(_char_ngrams(F.col("_t"), n)).alias("gram"))
         .withColumn("gram", F.xxhash64("gram"))  # shuffle 8 bytes, not strings
         # materialize once: grams feed the hot-gram agg, the sizes agg, and
@@ -144,10 +148,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """num_perm minhashes per doc via the standard (a*x+b) mod p family over
     md5-60-bit shingles (DuckDB-reproducible — the q21 oracle replays the
-    identical uint64-wrapping arithmetic). Vectorized numpy inside one
-    Arrow UDF batch."""
+    identical uint64-wrapping arithmetic).
+
+    ONE code path, engine-speed AND oracle-exact: gram generation + hashing
+    happen inside the Arrow UDF, where the batch's grams are factorized
+    (np.unique over fixed-width codepoint windows) so md5 runs once per
+    DISTINCT gram — the 5-gram vocabulary of a corpus is orders of
+    magnitude smaller than its gram occurrences (round-2 computed
+    md5+conv per occurrence in the JVM, +70% wall). minhash is
+    set-invariant, so per-doc array_distinct is unnecessary: min over the
+    multiset == min over the set. The input is repartitioned first — a
+    small-file parquet scan would otherwise run the whole UDF stage in one
+    task."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
+
+    import hashlib
 
     rng = np.random.default_rng(42)
     P = np.uint64((1 << 61) - 1)
@@ -155,31 +171,61 @@ def minhash_signatures(
     B = rng.integers(0, P, size=num_perm, dtype=np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
-    def _minhash(gramsets: pd.Series) -> pd.Series:
-        out = []
-        for grams in gramsets:
-            if grams is None or len(grams) == 0:
+    def _minhash(texts: pd.Series) -> pd.Series:
+        nd = len(texts)
+        wins = []                      # per-doc (n_g, n) codepoint windows
+        ng = np.zeros(nd, dtype=np.int64)
+        short = {}                     # len(text) < n → one gram: the text
+        for k, t in enumerate(texts):
+            if t is None:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            if len(cp) >= n:
+                wins.append(np.lib.stride_tricks.sliding_window_view(cp, n))
+                ng[k] = len(cp) - n + 1
+            else:
+                short[k] = t           # substr(t,1,n) == t (incl. '')
+        if wins:
+            w = np.ascontiguousarray(np.vstack(wins))
+            uniq, codes = np.unique(
+                w.view(f"V{4 * n}").ravel(), return_inverse=True
+            )
+            h60 = np.array(
+                [
+                    int(hashlib.md5(
+                        bytes(u).decode("utf-32-le").encode()
+                    ).hexdigest()[:15], 16)
+                    for u in uniq
+                ],
+                dtype=np.uint64,
+            )
+            # (num_perm, n_uniq): each distinct gram's permuted values once
+            hv = (A[:, None] * h60[None, :] + B[:, None]) % P
+        else:
+            codes = np.zeros(0, dtype=np.int64)
+            hv = np.zeros((num_perm, 0), dtype=np.uint64)
+        out, pos = [], 0
+        for k in range(nd):
+            if ng[k] > 0:
+                c = codes[pos:pos + ng[k]]
+                pos += ng[k]
+                sig = hv[:, c].min(axis=1)
+            elif k in short:
+                x = np.uint64(
+                    int(hashlib.md5(short[k].encode()).hexdigest()[:15], 16)
+                )
+                sig = (A * x + B) % P
+            else:
                 out.append([0] * num_perm)
                 continue
-            x = np.asarray(grams, dtype=np.int64).view(np.uint64) % P
-            # (num_perm, n_grams) without materializing huge matrices:
-            sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-            for start in range(0, len(x), 4096):
-                chunk = x[start:start + 4096]
-                hv = (A[:, None] * chunk[None, :] + B[:, None]) % P
-                sig = np.minimum(sig, hv.min(axis=1))
             out.append(sig.view(np.int64).tolist())
         return pd.Series(out)
 
-    grams = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    normed = docs.select(
         "doc_id", normalize_text(F.col(text_col)).alias("_t")
-    ).select(
-        "doc_id",
-        F.transform(_char_ngrams(F.col("_t"), n), lambda g: md5_hash60(g)).alias(
-            "_grams"
-        ),
-    )
-    return grams.select("doc_id", _minhash(F.col("_grams")).alias("signature"))
+    ).repartition(par)
+    return normed.select("doc_id", _minhash(F.col("_t")).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -254,33 +300,44 @@ def simhash_pairs(
 
     import hashlib
 
-    def _stable64(tok: str) -> int:
-        # Python's builtin hash() is salted per process → NOT usable on
-        # executors. md5-prefix (60-bit, non-negative) so the q22 DuckDB
-        # oracle reproduces it exactly; bits 60-63 of the simhash are
-        # structurally 0 on both sides.
-        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-
+    # Python's builtin hash() is salted per process → NOT usable on
+    # executors. md5-prefix (60-bit, non-negative) so the q22 DuckDB
+    # oracle reproduces it exactly; bits 60-63 of the simhash are
+    # structurally 0 on both sides. Tokens are factorized per batch so
+    # md5 runs once per DISTINCT token, and the ±1 bit votes are summed
+    # with one reduceat over the gathered sign matrix — no per-doc loop.
     @pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array([_stable64(tok) for tok in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for i in range(64):
-                if v[i] > 0:
-                    sh |= np.uint64(1) << np.uint64(i)
-            out.append(int(sh.view(np.int64)))
-        return pd.Series(out)
+        toks_per_doc = [(t or "").lower().split() for t in texts]
+        counts = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        nd = len(texts)
+        v = np.zeros((nd, 64), dtype=np.int32)
+        if counts.sum() > 0:
+            all_toks = np.array(
+                [tok for toks in toks_per_doc for tok in toks], dtype=object
+            )
+            codes, uniques = pd.factorize(all_toks)
+            h = np.array(
+                [int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                 for u in uniques],
+                dtype=np.uint64,
+            )
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            signs = 2 * bits - 1                     # (n_uniq, 64)
+            gathered = signs[codes]                  # (n_toks, 64)
+            starts = np.zeros(nd + 1, dtype=np.int64)
+            starts[1:] = np.cumsum(counts)
+            nz = counts > 0                          # reduceat needs strictly
+            v[nz] = np.add.reduceat(gathered, starts[:-1][nz], axis=0)
+        pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sh = ((v > 0).astype(np.uint64) * pow2[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sh.view(np.int64))
 
-    sigs = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sigs = docs.select("doc_id", F.col(text_col)).repartition(par).select(
         "doc_id", _simhash(F.col(text_col)).alias("simhash")
     ).transform(materialize)
     chunks = sigs.select(
@@ -344,7 +401,12 @@ def embedding_neardup_pairs(
     else:
         from spark_frontier.analytics.similarity import hyperplane_signatures
 
-        dim = len(embeddings.select("embedding").first()["embedding"])
+        row = embeddings.select("embedding").first()
+        if row is None:  # empty corpus → empty pairs, not a TypeError
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, cosine double"
+            )
+        dim = len(row["embedding"])
         sigs = materialize(hyperplane_signatures(
             e, n_planes=lsh_planes, dim=dim, vec_col="embedding",
             id_col="vec_id",

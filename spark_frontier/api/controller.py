@@ -55,6 +55,7 @@ class CrawlController:
         self._thread: threading.Thread | None = None
         self._auto_stop = threading.Event()
         self._auto_thread: threading.Thread | None = None
+        self.cleanups_run = 0  # T10 cadence observability (tests/status)
 
     # -- trigger (server.py:345-362) ---------------------------------------
 
@@ -126,6 +127,7 @@ class CrawlController:
             "error": s.error,
             "auto_loop": self._auto_thread is not None
             and self._auto_thread.is_alive(),
+            "cleanups_run": self.cleanups_run,
             "progress": s.report.as_dict(),
         }
 
@@ -142,15 +144,45 @@ class CrawlController:
 
     # -- auto loop (server.py:121-149) ---------------------------------------
 
-    def start_auto_loop(self, interval_s: float = 900.0, days: int = 7) -> None:
+    def start_auto_loop(
+        self,
+        interval_s: float = 900.0,
+        days: int = 7,
+        cleanup_every_n_ticks: int | None = 96,
+        cleanup_ttl_days: int = 2,
+    ) -> None:
         """Re-trigger every interval (reference default 15 min). Skips a
-        tick if a crawl is still running, like the reference's guard."""
+        tick if a crawl is still running, like the reference's guard.
+
+        CLEANUP CADENCE (crawl_scheduler.py:71-76 registers a daily
+        ``_cleanup_job``): every ``cleanup_every_n_ticks``-th tick runs
+        ``retention_cleanup`` before triggering the crawl — 96 ticks at the
+        15-min default ≈ 24 h. The cleanup is skipped (coalesced to the
+        next eligible tick) while a crawl is still running: it rewrites the
+        links table and must not race an in-flight cycle's commits.
+        ``None`` disables it."""
         if self._auto_thread is not None and self._auto_thread.is_alive():
             return
         self._auto_stop.clear()
 
         def _loop():
+            from spark_frontier.pipeline.crawl import retention_cleanup
+
+            tick = 0
             while not self._auto_stop.is_set():
+                tick += 1
+                if (cleanup_every_n_ticks
+                        and tick % cleanup_every_n_ticks == 0
+                        and not self._state.is_running):
+                    try:
+                        retention_cleanup(
+                            self._store, self._spark,
+                            now=datetime.now(timezone.utc).replace(tzinfo=None),
+                            ttl_days=cleanup_ttl_days,
+                        )
+                        self.cleanups_run += 1
+                    except Exception:  # never kills the loop
+                        pass
                 self.start(days=days)
                 if self._auto_stop.wait(interval_s):
                     break

@@ -124,18 +124,73 @@ def attach_payload(
     return joined
 
 
-def live_fetch(batch: DataFrame, per_host_limit: int = 10, timeout_s: float = 15.0):
-    """LIVE network fetch inside mapInPandas (aiohttp pool per partition).
+def live_fetch(
+    batch: DataFrame,
+    per_host_limit: int = 10,
+    total_limit: int = 50,
+    timeout_s: float = 15.0,
+) -> DataFrame:
+    """LIVE network fetch: aiohttp pool inside ``mapInPandas``.
 
-    Partition by host first (``repartition(F.col('host'))``) so per-host
-    politeness is enforceable locally. Raises if aiohttp is unavailable.
+    The batch is repartitioned BY HOST so each partition's pool enforces
+    the reference's per-host connection cap locally (TCPConnector
+    limit_per_host=10, http_client.py:118-123) and the deadline column is
+    honored in wall clock. The pool body itself (``livepool.run_fetch_batch``)
+    is pure asyncio and unit-tested with a mocked session; this wrapper
+    only adds the Spark plumbing, so a deployment with aiohttp installed
+    runs as-is. Raises if aiohttp is unavailable (this sandbox).
+
+    Output: url, host, politeness_deadline passthrough + (http_code int,
+    body binary, fetched_at double).
     """
     try:
-        import aiohttp  # noqa: F401
+        import aiohttp
     except ImportError as e:  # pragma: no cover - sandbox has no aiohttp
         raise NotImplementedError(
             "live fetch requires aiohttp; this environment is hermetic-only"
         ) from e
-    raise NotImplementedError(
-        "live mode is a deployment seam; wire aiohttp pool here"
-    )  # pragma: no cover
+
+    import pandas as pd
+
+    from spark_frontier.fetch.livepool import run_fetch_batch
+
+    def _session_factory():  # pragma: no cover - needs network
+        return aiohttp.ClientSession(
+            connector=aiohttp.TCPConnector(
+                limit=total_limit, limit_per_host=per_host_limit
+            )
+        )
+
+    out_schema = (
+        "url string, host string, politeness_deadline timestamp, "
+        "http_code int, body binary, fetched_at double"
+    )
+
+    def _fetch(batches):  # pragma: no cover - needs network
+        for pdf in batches:
+            rows = [
+                {
+                    "url": r.url,
+                    "host": r.host,
+                    "politeness_deadline": r.politeness_deadline,
+                    "ua": None,
+                }
+                for r in pdf.itertuples()
+            ]
+            res = run_fetch_batch(
+                rows, _session_factory, per_host_limit=per_host_limit,
+                total_limit=total_limit, timeout_s=timeout_s,
+            )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "host": pdf["host"].values,
+                    "politeness_deadline": pdf["politeness_deadline"].values,
+                    "http_code": [x["http_code"] for x in res],
+                    "body": [x["body"] for x in res],
+                    "fetched_at": [x["fetched_at"] for x in res],
+                }
+            )
+
+    with_ua = batch.select("url", "host", "politeness_deadline")
+    return with_ua.repartition(F.col("host")).mapInPandas(_fetch, out_schema)

@@ -35,7 +35,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_frontier.frontier.priority import build_candidates, salted_repartition
+from spark_frontier.frontier.priority import build_candidates
 from spark_frontier.frontier.recency import filter_recent
 from spark_frontier.fetch.fetcher import attach_payload, hermetic_fetch
 from spark_frontier.functions.bloom import build_bloom_segments, dedup_unseen
@@ -46,7 +46,11 @@ from spark_frontier.politeness.backoff import (
     update_host_state,
 )
 from spark_frontier.politeness.ratelimit import assign_deadlines, select_batch
-from spark_frontier.politeness.robots import build_rules_df, robots_allowed
+from spark_frontier.politeness.robots import (
+    build_rules_df,
+    build_rules_df_distributed,
+    robots_allowed,
+)
 from spark_frontier.sitemap.expand import expand_sitemap_tree
 from spark_frontier.storage import SnapStore
 from spark_frontier.storage.materialize import materialize
@@ -124,9 +128,22 @@ def fetch_and_validate(
     batch_ts: datetime,
     salt_buckets: int = 4,
 ) -> DataFrame:
-    """Salted fetch + late payload join + image/caption validation — the
-    UDF-heavy tail shared by the batch cycle and the streaming path."""
-    to_fetch = salted_repartition(wave_batch, salt_buckets)
+    """Fetch + late payload join + image/caption validation — the
+    UDF-heavy tail shared by the batch cycle and the streaming path.
+
+    NO explicit salting here: the hermetic fetch is a shuffle_hash join on
+    ``url``, whose hash partitioning spreads the join output (where the
+    validate UDF runs) uniformly across all shuffle partitions — a prior
+    ``salted_repartition`` was a full extra shuffle of the widest rows
+    that the join immediately re-shuffled away (measured round 3). Salting
+    (``salted_repartition``) remains the skew tool for the LIVE path,
+    which partitions by host, not url. ``salt_buckets`` is kept for
+    API compatibility and ignored on the hermetic path.
+
+    Ordering/priority columns (site_seq/depth/path/sitemap_pos) have done
+    their job once the wave is selected — drop them before the join
+    shuffles."""
+    to_fetch = wave_batch.drop("site_seq", "depth", "path", "sitemap_pos")
     fetched = hermetic_fetch(to_fetch, world["web_pages"], batch_ts)
     with_payload = attach_payload(fetched, world["images"])
     return (
@@ -160,10 +177,16 @@ def build_link_rows(
     site_type/sport_focus from sites, then the all-JVM precedence chain
     (forced focus ≻ URL segment ≻ URL pattern ≻ caption score ≻ 'sports')."""
     from spark_frontier.extract.category import with_category
+    from spark_frontier.functions.urls import sha256_hex
 
     rows = validated.withColumn("title", F.col("news_title")).withColumn(
         "published_at",
         F.coalesce(F.col("news_publication_date"), F.col("lastmod")),
+    ).withColumn(
+        # V10 sha256 raw-URL parity (repository.py:92-94), computed HERE —
+        # post-fetch, JVM-side — so the 64-char hex never rides the
+        # frontier shuffles upstream
+        "url_hash", sha256_hex(F.col("url"))
     )
     if sites is not None:
         rows = rows.join(
@@ -269,10 +292,14 @@ def _run_cycle_inner(
     recent = filter_recent(entries, sites, days=days, now=batch_ts)
 
     # --- robots gate (broadcast join; zero frontier shuffles) ------------
-    robots_rows = [
-        (r["host"], r["content"]) for r in world["robots_docs"].collect()
-    ] if "robots_docs" in world else []
-    rules = build_rules_df(spark, robots_rows)
+    # parse DISTRIBUTED (mapInPandas per executor batch): only the compact
+    # rules rows reach the driver-side broadcast, never the robots bodies —
+    # at 10^6-10^7 hosts the round-2 collect()-then-parse loop was GBs
+    # through the driver and minutes of single-threaded work
+    if "robots_docs" in world:
+        rules = build_rules_df_distributed(world["robots_docs"])
+    else:
+        rules = build_rules_df(spark, [])
     with_robots = robots_allowed(build_candidates(recent), rules)
     candidates = with_robots.filter(F.col("robots_allowed"))
 
@@ -292,11 +319,15 @@ def _run_cycle_inner(
     )
     if process_within_days is not None:
         # run-once quirk (crawl_scheduler.py:367-372): discover 7 d,
-        # PROCESS only ≤ process_within_days; undated → True (F3)
-        eff = F.coalesce(F.col("lastmod"), F.col("news_publication_date"))
-        dd = F.datediff(F.lit(batch_ts).cast("date"), F.to_date(eff))
+        # PROCESS only ≤ process_within_days. The reference checks ONLY
+        # ``lastmod`` ("if not lastmod or is_within_days(lastmod, 2)") —
+        # an entry with a NULL lastmod passes unconditionally even if its
+        # news_publication_date is old.
+        dd = F.datediff(
+            F.lit(batch_ts).cast("date"), F.to_date(F.col("lastmod"))
+        )
         candidates = candidates.filter(
-            eff.isNull() | dd.between(0, process_within_days)
+            F.col("lastmod").isNull() | dd.between(0, process_within_days)
         )
     if fuse_discovery:
         # single-wave drain mode (bench): keep discovery LAZY so canonical-
@@ -371,8 +402,14 @@ def _run_cycle_inner(
     elif use_bloom:
         segments = bloom_tbl.read(spark)
         if segments is not None:
-            if bloom_tbl.summary().get("covers_links") != links_snapshot:
-                segments = None  # stale provenance → full rebuild
+            _bmeta = bloom_tbl.summary()
+            if (_bmeta.get("covers_links") != links_snapshot
+                    or _bmeta.get("n_segments", bloom_segments)
+                    != bloom_segments):
+                # stale provenance, or built under a different segment
+                # modulus (probing with the wrong modulus would read the
+                # wrong bitmap → false negatives) → full rebuild
+                segments = None
             else:
                 cap = segments.agg(
                     F.sum("m_bits").alias("mb"), F.sum("n_items").alias("n"),
@@ -394,7 +431,8 @@ def _run_cycle_inner(
             ).transform(materialize)
             _async(
                 bloom_tbl.overwrite, segments,
-                summary={"op": "bloom_build", "covers_links": links_snapshot},
+                summary={"op": "bloom_build", "covers_links": links_snapshot,
+                         "n_segments": bloom_segments},
                 small=True,
             )
         bloom_m_bits = segments.agg(F.max("m_bits")).collect()[0][0]
@@ -539,7 +577,7 @@ def _run_cycle_inner(
             segments = materialize(merge_bloom_segments(segments, delta))
             _async(
                 bloom_tbl.overwrite, segments,
-                summary={"op": "bloom_delta",
+                summary={"op": "bloom_delta", "n_segments": bloom_segments,
                          "covers_links": links_tbl.snapshot_id},
                 small=True,
             )
@@ -602,7 +640,12 @@ def _run_cycle_inner(
                   "status": "string", "error_message": "string",
                   "http_code": "Int32", "urls_found": "int64",
                   "new_urls": "int64"})
-        logs_tbl.append_local(log_pdf, summary=report.as_dict())
+        # the cycle row goes through the SAME single-worker async lane as
+        # the per-site log append above: SnapTable._commit has no lock, so
+        # two threads appending to crawl_logs concurrently would race on
+        # the manifest file list and silently drop whichever committed
+        # first. One lane ⇒ all crawl_logs commits serialize.
+        _async(logs_tbl.append_local, log_pdf, summary=report.as_dict())
 
         sites_updated = world["sites"].withColumn(
             "last_crawl_at",
@@ -642,5 +685,7 @@ def retention_cleanup(store: SnapStore, spark: SparkSession,
                 build_bloom_segments(
                     links.read(spark).select("url_key"), n_segments=16
                 ),
-                summary={"op": "bloom_rebuild_after_retention"},
+                summary={"op": "bloom_rebuild_after_retention",
+                         "n_segments": 16,
+                         "covers_links": links.snapshot_id},
             )

@@ -95,6 +95,41 @@ def build_rules_df(spark, robots_docs: list[tuple[str, str | None]]) -> DataFram
     return spark.createDataFrame(rows, RULES_SCHEMA) if rows else spark.createDataFrame([], RULES_SCHEMA)
 
 
+def build_rules_df_distributed(robots_docs: DataFrame) -> DataFrame:
+    """Parse robots documents ON THE EXECUTORS — the 10^6-host path.
+
+    The round-2 pipeline collected every robots.txt body to the driver and
+    parsed them in a Python loop; at the 10^10-URL design point that is GBs
+    of text through the driver and minutes of single-threaded parse.
+    Parsing is row-local, so ``mapInPandas`` (no shuffle, no groupBy) turns
+    the same ``parse_robots_txt`` into a distributed operator; only the
+    compact rules rows ever leave the executors (they next feed the
+    broadcast collapse in ``robots_allowed``).
+
+    robots_docs: DataFrame with (host string, content string) columns.
+    """
+    import pandas as pd
+
+    cols = [f.name for f in RULES_SCHEMA.fields]
+
+    def _parse(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for host, content in zip(pdf["host"], pdf["content"]):
+                rows.extend(
+                    parse_robots_txt(host, content if content is not None else None)
+                )
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: [] for c in cols})
+            )
+
+    return robots_docs.select("host", "content").mapInPandas(
+        _parse, RULES_SCHEMA
+    )
+
+
 def robots_allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     """Annotate frontier with ``robots_allowed`` and ``crawl_delay``.
 

@@ -51,8 +51,16 @@ def get_spark(
         # across tasks/stages instead of forking+importing numpy per task
         .config("spark.python.worker.reuse", "true")
         # small-file worlds: split parquet scans finer than the 128m default
-        # so a single-file table doesn't serialize its scan stage
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # so a single-file table doesn't serialize its scan stage. 2m (not
+        # round-2's 16m): a 10 MB zstd table at 16m was ONE scan task that
+        # also did the whole shuffle-write for any join over it — a fixed,
+        # core-count-independent cost that capped N→4N scaling. Splits stop
+        # at row-group boundaries (synth worlds write 64k-row groups).
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        # keep AQE's partition coalescing from collapsing the UDF-bearing
+        # join-output stages: 64m advisory would merge a ~120 MB wave into
+        # 2-3 tasks and serialize the validate UDF on a 32-core box
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

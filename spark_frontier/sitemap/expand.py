@@ -102,8 +102,16 @@ def expand_sitemap_tree(
             .join(processed, on="sitemap_url", how="left_anti")
             .dropDuplicates(["sitemap_url"])
         )
-        worklist = children.transform(materialize)
-        n_pending = worklist.count()  # one cheap job on the checkpointed level
+        # fuse the pending-count into the checkpoint job itself (Observation)
+        # instead of running a separate count job per BFS level — the
+        # per-level job latency is pure serial tail at any core count
+        from pyspark.sql import Observation as _Obs
+
+        obs = _Obs(f"expand_pending_d{depth}")
+        worklist = children.observe(obs, F.count(F.lit(1)).alias("n")).transform(
+            materialize
+        )
+        n_pending = int(obs.get["n"])
         # processed stays lazy: built from checkpointed levels only, so its
         # lineage is one union per level (no extra materialization job)
         processed = processed.unionByName(worklist.select("sitemap_url"))

@@ -82,12 +82,22 @@ def start_stream_crawl(
     available_now: bool = True,
     trigger_interval: str = "10 minutes",
     on_saved: Callable[[list, int], None] | None = None,
+    on_saved_partition: Callable | None = None,
+    use_bloom: bool = True,
 ):
     """Start the streaming crawl; returns the StreamingQuery.
 
     ``on_saved``: K5 hook — called with (saved_rows, batch_id) after each
     micro-batch commit; saved_rows is the collected list of valid link
-    rows (url, url_key, sport_category, caption, published_at).
+    rows (url, url_key, sport_category, caption, published_at). Driver-side
+    collect — right for reference-scale webhook batches.
+
+    ``on_saved_partition``: the EXECUTOR-SIDE K5 variant — called once per
+    partition with an iterator of the same rows, via ``foreachPartition``,
+    so notifications never funnel through a driver collect (the
+    training-pipeline micro-batch shape). Exceptions are swallowed per
+    partition (trigger.py:60-66 parity: notification failure never fails
+    the crawl). Both hooks may be set; each fires after the commit.
     """
     src = (
         spark.readStream.schema(CANDIDATE_DDL)
@@ -102,11 +112,43 @@ def start_stream_crawl(
         # F2 recency parity — EXPLICIT filter (see module docstring)
         recent = filter_recent(batch_df, sites, days=days, now=batch_ts)
         candidates = build_candidates(recent)
+        # ROBOTS GATE — stream==batch parity: the reference checks robots
+        # before EVERY article fetch (http_client.py:129-133) regardless of
+        # entry point; round 2's streaming path skipped it entirely.
+        if "robots_docs" in world:
+            from spark_frontier.politeness.robots import (
+                build_rules_df_distributed,
+                robots_allowed,
+            )
+
+            candidates = robots_allowed(
+                candidates, build_rules_df_distributed(world["robots_docs"])
+            ).filter(F.col("robots_allowed"))
         links_tbl = store.table("links")
         seen = links_tbl.read(spark)
         if seen is None:
             seen = spark.createDataFrame([], "url_key long")
-        unseen = dedup_unseen(candidates, seen.select("url_key"))
+        # BLOOM PARITY with the batch cycle: probe committed segments when
+        # their provenance matches the links HEAD (a stale bloom is only
+        # skipped, never trusted — the superset invariant must hold);
+        # without it every micro-batch pays an O(seen) anti-join shuffle.
+        bloom_tbl = store.table("bloom")
+        segments = bloom_tbl.read(spark) if use_bloom else None
+        n_seg = 0
+        if segments is not None:
+            meta = bloom_tbl.summary()
+            # the probe modulus MUST be the build modulus (a mismatch maps
+            # keys to the wrong bitmap → false negatives → duplicate leak),
+            # so it rides in the snapshot summary; no/old summary → skip
+            if (meta.get("covers_links") != links_tbl.snapshot_id
+                    or not meta.get("n_segments")):
+                segments = None
+            else:
+                n_seg = int(meta["n_segments"])
+        unseen = dedup_unseen(
+            candidates, seen.select("url_key"), segments=segments,
+            n_segments=n_seg or 32,
+        )
         host_tbl = store.table("host_state")
         hs = host_tbl.read(spark) or empty_host_state(spark)
         unseen = unseen.join(
@@ -131,6 +173,40 @@ def start_stream_crawl(
             summary={"op": "stream_batch", "batch_id": int(batch_id),
                      "rows": n},
         )
+        if use_bloom:
+            # keep bloom provenance current so the NEXT micro-batch probes
+            # instead of paying the full O(seen) anti-join
+            from spark_frontier.functions.bloom import (
+                build_bloom_segments,
+                merge_bloom_segments,
+            )
+
+            if segments is not None:
+                m_bits = int(segments.agg(F.max("m_bits")).collect()[0][0])
+                merged = merge_bloom_segments(
+                    segments,
+                    build_bloom_segments(
+                        valid_rows.select("url_key"), n_segments=n_seg,
+                        m_bits=m_bits,
+                    ),
+                )
+            else:
+                import math
+
+                n_seg = 16
+                n_seen = links_tbl.read(spark).count()
+                per_seg = max(n_seen // n_seg, 1)
+                m_bits = max(64, 1 << math.ceil(math.log2(per_seg * 14 * 2)))
+                merged = build_bloom_segments(
+                    links_tbl.read(spark).select("url_key"),
+                    n_segments=n_seg, m_bits=m_bits,
+                )
+            bloom_tbl.overwrite(
+                materialize(merged),
+                summary={"op": "bloom_stream", "n_segments": n_seg,
+                         "covers_links": links_tbl.snapshot_id},
+                small=True,
+            )
         host_tbl.overwrite(
             update_host_state(
                 hs,
@@ -140,10 +216,23 @@ def start_stream_crawl(
             summary={"op": "host_state_stream", "batch_id": int(batch_id)},
             small=True,
         )
+        notify_cols = ["url", "url_key", "sport_category", "caption",
+                       "published_at"]
+        if on_saved_partition is not None:
+            # executor-side push: each partition notifies directly (the
+            # webhook POST / queue LPUSH happens where the data is); the
+            # driver never materializes the batch
+            cb = on_saved_partition
+
+            def _push(rows_iter):
+                try:
+                    cb(rows_iter)
+                except Exception:
+                    pass  # K5 parity: never fails the crawl
+
+            valid_rows.select(*notify_cols).foreachPartition(_push)
         if on_saved is not None:
-            saved = valid_rows.select(
-                "url", "url_key", "sport_category", "caption", "published_at"
-            ).collect()
+            saved = valid_rows.select(*notify_cols).collect()
             if saved:
                 try:
                     on_saved(saved, int(batch_id))

@@ -97,3 +97,36 @@ def test_run_once_processing_window(spark, world_dir, tmp_path_factory):
         F.datediff(F.lit(NOW).cast("date"), F.to_date("lastmod")) > 2
     )
     assert late.count() == 0
+
+
+def test_auto_loop_cleanup_cadence(spark, world_dir, tmp_path_factory):
+    """T10 cadence (crawl_scheduler.py:71-76 daily _cleanup_job): the auto
+    loop runs retention_cleanup every Nth tick; expired links leave the
+    seen store and the bloom is rebuilt with fresh provenance."""
+    import time
+    from datetime import timedelta
+
+    world = load_world(spark, world_dir)
+    store = SnapStore(str(tmp_path_factory.mktemp("cleanstore")))
+    seed_seen_store(store, world["url_seen"])
+    ctl = CrawlController(spark, world, store, max_per_host=10_000)
+    # crawl once so links/bloom exist, with first_seen_at == NOW (old
+    # relative to the wall-clock 'now' the auto-loop cleanup uses)
+    ctl.start(days=7, batch_ts=NOW)
+    assert ctl.wait(timeout=300)
+    n_before = store.table("links").read(spark).count()
+    assert n_before > 0
+
+    # every 2nd tick → cleanup with ttl 0 days (everything is older than
+    # wall-clock now) fires within a few fast ticks
+    ctl.start_auto_loop(interval_s=0.2, days=7, cleanup_every_n_ticks=2,
+                        cleanup_ttl_days=0)
+    deadline = time.time() + 120
+    while ctl.cleanups_run == 0 and time.time() < deadline:
+        time.sleep(0.5)
+    ctl.stop_auto_loop()
+    ctl.wait(timeout=300)  # let any in-flight crawl finish
+    assert ctl.cleanups_run >= 1
+    bloom_meta = store.table("bloom").summary()
+    assert bloom_meta.get("op") in ("bloom_rebuild_after_retention",
+                                    "bloom_build", "bloom_delta")

@@ -190,3 +190,41 @@ def test_drain_mode_slots_valid_schedule(spark):
          ).alias("gap_us")
     )
     assert gaps.filter(F.col("gap_us") < 2_000_000).count() == 0
+
+
+def test_drain_mode_still_enforces_cap(spark):
+    """Drain path (max_per_host > 4096) must STILL cap per-host selection:
+    slot <= max_per_host filters to at most the cap even when the host's
+    frontier is far larger (round-2 advice: the 'cap >> frontier'
+    assumption only holds for the bench)."""
+    rows = [(f"https://big.com/p{i}", "big.com", 0, 0, [0], i)
+            for i in range(20_000)]
+    df = spark.createDataFrame(
+        rows, "url string, host string, site_seq int, depth int, "
+              "path array<long>, sitemap_pos long")
+    out = assign_deadlines(df, None, T0, max_per_host=8192)
+    n = out.count()
+    assert n <= 8192
+    # salted interleaving may leave small gaps below the cap, but the
+    # selection must still be near-full (>90% of the cap)
+    assert n > 7300
+    dup = out.groupBy("host", "host_slot").count().filter("count > 1")
+    assert dup.count() == 0
+
+
+def test_distributed_robots_parse_matches_driver(spark):
+    """build_rules_df_distributed (mapInPandas, no driver collect of the
+    robots bodies) produces exactly the same rules table as the
+    driver-side parse."""
+    from spark_frontier.politeness.robots import build_rules_df_distributed
+
+    docs = [("x.com", ROBOTS_TXT), ("empty.com", None),
+            ("delay.com", "User-agent: *\nCrawl-delay: 3\n"),
+            ("deny.com", "User-agent: *\nDisallow: /\n")]
+    local = build_rules_df(spark, docs)
+    dist = build_rules_df_distributed(
+        spark.createDataFrame(docs, "host string, content string")
+    )
+    a = sorted(map(tuple, local.collect()))
+    b = sorted(map(tuple, dist.collect()))
+    assert a == b and len(a) > 0

@@ -102,3 +102,111 @@ def test_stream_k5_trigger_hook(spark, world_dir, tmp_path_factory):
     total = store.table("links").read(spark).count()
     assert len(pushed) == total - seeded  # one push per saved article
     assert all(r["sport_category"] is not None for r in pushed)
+
+
+def _cand_stream_dir(spark, world, tmp_path_factory, name, nfiles=4):
+    from spark_frontier.frontier.recency import filter_recent
+
+    sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
+    entries = expand_sitemap_tree(
+        sites.select("site_id", "site_seq", "sitemap_url"),
+        world["sitemap_pages"],
+    )
+    recent = filter_recent(entries, sites, days=7, now=NOW)
+    d = str(tmp_path_factory.mktemp(name))
+    cols = [f.split(" ")[0] for f in CANDIDATE_DDL.split(", ")]
+    recent.selectExpr(*cols).repartition(nfiles).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_stream_robots_gate_matches_batch(spark, world_dir, tmp_path_factory):
+    """Round-2 gap: the streaming path skipped robots entirely. With a
+    robots.txt that disallows every article on one host, NEITHER path may
+    fetch that host, and the final link tables must still match."""
+    world = load_world(spark, world_dir)
+    deny_host = "site3.example.com"
+    deny = spark.createDataFrame(
+        [(deny_host, "User-agent: *\nDisallow: /article/\n")],
+        "host string, content string",
+    )
+    world["robots_docs"] = world["robots_docs"].filter(
+        F.col("host") != deny_host
+    ).unionByName(deny)
+
+    batch_store = SnapStore(str(tmp_path_factory.mktemp("rb_bstore")))
+    seed_seen_store(batch_store, world["url_seen"])
+    run_crawl_cycle(spark, world, batch_store, batch_ts=NOW, days=7,
+                    max_per_host=10_000)
+
+    cand_dir = _cand_stream_dir(spark, world, tmp_path_factory, "rb_cand")
+    stream_store = SnapStore(str(tmp_path_factory.mktemp("rb_sstore")))
+    seed_seen_store(stream_store, world["url_seen"])
+    q = start_stream_crawl(
+        spark, cand_dir, world, stream_store,
+        str(tmp_path_factory.mktemp("rb_ckpt")), batch_ts=NOW,
+        max_per_host=10_000, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    a = batch_store.table("links").read(spark)
+    b = stream_store.table("links").read(spark)
+    # the denied host was fetched by NEITHER path (seeded url_seen rows for
+    # it carry site_id NULL; crawled rows carry a site_id)
+    for t in (a, b):
+        assert t.filter(
+            (F.col("host") == deny_host) & F.col("site_id").isNotNull()
+        ).count() == 0
+    ak = a.select("url_key")
+    bk = b.select("url_key")
+    assert ak.exceptAll(bk).count() == 0 and bk.exceptAll(ak).count() == 0
+    # bloom provenance kept current by the stream (next batch would probe,
+    # not full-anti-join)
+    meta = stream_store.table("bloom").summary()
+    assert meta.get("covers_links") == stream_store.table("links").snapshot_id
+    assert meta.get("n_segments")
+
+
+def test_stream_k5_executor_push(spark, world_dir, tmp_path_factory):
+    """K5 executor-side variant: foreachPartition pushes notifications from
+    the executors — same rows as the saved set, no driver collect; a
+    failing partition callback never fails the stream."""
+    import glob
+    import json as _json
+    import os
+    import uuid
+
+    world = load_world(spark, world_dir)
+    cand_dir = _cand_stream_dir(spark, world, tmp_path_factory, "k5p_cand")
+    store = SnapStore(str(tmp_path_factory.mktemp("k5p_store")))
+    seed_seen_store(store, world["url_seen"])
+    push_dir = str(tmp_path_factory.mktemp("k5p_push"))
+
+    def part_cb(rows_iter):
+        keys = [r["url_key"] for r in rows_iter]
+        with open(os.path.join(push_dir, uuid.uuid4().hex + ".json"),
+                  "w") as f:
+            _json.dump(keys, f)
+        raise RuntimeError("queue down")  # must not fail the stream
+
+    q = start_stream_crawl(
+        spark, cand_dir, world, store,
+        str(tmp_path_factory.mktemp("k5p_ckpt")), batch_ts=NOW,
+        max_per_host=10_000, available_now=True,
+        on_saved_partition=part_cb,
+    )
+    q.awaitTermination(300)
+
+    pushed = []
+    for p in glob.glob(os.path.join(push_dir, "*.json")):
+        with open(p) as f:
+            pushed.extend(_json.load(f))
+    seeded = world["url_seen"].count()
+    total = store.table("links").read(spark).count()
+    assert sorted(pushed) == sorted(
+        r["url_key"]
+        for r in store.table("links").read(spark)
+        .filter(F.col("site_id").isNotNull()).select("url_key").collect()
+    )
+    assert len(pushed) == total - seeded
