@@ -238,12 +238,21 @@ def _queries_in_subprocess() -> dict:
 
 
 def _host_control(n: int, n4: int) -> dict:
-    """Pure-python CPU burn: n pinned processes on n CPUs vs 4n on 4n —
-    measures whether a CPU of the 'N-core machine' and one of the
-    '4N-core machine' deliver the same throughput on this host (they do on
-    a real cluster by construction; a shared-bus VM with hypervisor steal
-    may not). Reported alongside the engine number so the efficiency is
-    interpretable: the engine cannot out-scale the box it runs on."""
+    """Host scaling ceilings: per-core throughput with n pinned busy CPUs
+    vs 4n, for two control kernels run OUTSIDE Spark:
+
+    - ``alu``: a pure-python integer loop (tiny working set). On this VM
+      it shows ~0.97 — the box looks linear to ALU work.
+    - ``engine_like``: zlib-decompress + int16 einsum over ~2 MB blocks —
+      the validator's actual instruction/memory mix. Round 3 measured it
+      at ~1.15-1.2× per-core slowdown from 2-busy to 8-busy on this VM
+      (SMT/LLC/port contention the ALU loop cannot see), which bounds what
+      ANY engine doing this work can score here. On a real cluster N→4N
+      adds whole machines, so per-core capacity is constant by
+      construction and this ceiling is ~1.0.
+
+    ``host_ceiling_efficiency`` reports the engine_like kernel (the
+    representative bound); the ALU number is kept for comparison."""
     import multiprocessing as mp
 
     out = {}
@@ -251,13 +260,16 @@ def _host_control(n: int, n4: int) -> dict:
         cpus = set(range(procs))
         with mp.Pool(procs, initializer=os.sched_setaffinity,
                      initargs=(0, cpus)) as p:
-            r = p.map(_BURN, range(procs))
-        out[procs] = sum(r) / len(r)
-    eff = round(out[n] / out[n4], 3)  # per-core speed ratio n vs 4n busy
+            alu = p.map(_BURN, range(procs))
+            eng = p.map(_ENGINE_BURN, range(procs))
+        out[procs] = (sum(alu) / len(alu), sum(eng) / len(eng))
     return {
-        "per_task_s_n": round(out[n], 3),
-        "per_task_s_4n": round(out[n4], 3),
-        "host_ceiling_efficiency": eff,
+        "per_task_s_n": round(out[n][0], 3),
+        "per_task_s_4n": round(out[n4][0], 3),
+        "alu_ceiling_efficiency": round(out[n][0] / out[n4][0], 3),
+        "engine_like_s_n": round(out[n][1], 3),
+        "engine_like_s_4n": round(out[n4][1], 3),
+        "host_ceiling_efficiency": round(out[n][1] / out[n4][1], 3),
     }
 
 
@@ -267,6 +279,31 @@ def _BURN(_):
     for i in range(12_000_000):
         x += i * i
     return time.time() - t0
+
+
+def _ENGINE_BURN(_):
+    """The validator's mix: zlib inflate + int16 vector diff/square/sum.
+    min-of-reps so scheduler noise doesn't masquerade as contention."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 255, size=(200, 9216), dtype=np.uint8)
+    blobs = [zlib.compress(raw[i].tobytes(), 6) for i in range(200)]
+    ref = raw.astype(np.int16)
+    times = []
+    for rep in range(4):
+        t0 = time.time()
+        for _it in range(12):
+            dec = np.stack(
+                [np.frombuffer(zlib.decompress(b), dtype=np.uint8)
+                 for b in blobs]
+            ).astype(np.int16)
+            d = dec - ref
+            np.einsum("ij,ij->i", d, d, dtype=np.int64)
+        times.append(time.time() - t0)
+    return min(times)
 
 
 def main() -> None:

@@ -197,9 +197,14 @@ def _segment_map_expr() -> Column:
         mapping[k] = k
     for c in CUSTOM_CATEGORIES:
         mapping[c] = c
-    return F.create_map(
-        *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+    # ONE sql-parsed expression instead of ~470 F.lit py4j round-trips:
+    # this map is rebuilt for every crawl-cycle plan, and the py4j chatter
+    # was a measurable slice of the per-cycle driver tail. Keys/values are
+    # lowercase [a-z0-9 -] — literal-safe in single quotes.
+    items = ", ".join(
+        f"'{k}', '{v}'" for k, v in sorted(mapping.items())
     )
+    return F.expr(f"map({items})")
 
 
 def _url_cat_regex(cat: str) -> str:
@@ -248,20 +253,22 @@ def content_text(title: Column, content: Column) -> Column:
     )
 
 
-def content_score_columns(text: Column) -> dict[str, Column]:
+def content_score_columns(text_col: str = "_cs_txt") -> dict[str, Column]:
     """V8 JVM-side: per-category keyword-occurrence counts over a
     pre-materialized text column — one foldable regexp_count per keyword
     (compiled once by codegen), summed per category. Exact parity with
     ``len(re.findall(r'\\b'+kw+r'\\b', text))`` since keywords are
-    regex-literal in both engines. ``text`` should be a plain column
-    reference (see with_category) to keep the generated code small."""
+    regex-literal in both engines. ``text_col`` names a plain column (see
+    with_category) to keep the generated code small. Each category's sum
+    is built as ONE F.expr string — the loop of ~700 Column py4j calls it
+    replaces was per-cycle driver tail."""
     scores: dict[str, Column] = {}
     for cat, kws in CATEGORY_KEYWORDS.items():
-        s = None
-        for kw in kws:
-            c = F.regexp_count(text, F.lit(r"\b" + kw + r"\b"))
-            s = c if s is None else s + c
-        scores[cat] = s
+        terms = " + ".join(
+            "regexp_count(`%s`, '\\\\b%s\\\\b')" % (text_col, kw)
+            for kw in kws
+        )
+        scores[cat] = F.expr(terms)
     return scores
 
 
@@ -299,7 +306,7 @@ def with_category(
             F.lit("")
         ),
     )
-    scores = content_score_columns(F.col("_cs_txt"))
+    scores = content_score_columns("_cs_txt")
     for cat, s in scores.items():
         step = step.withColumn(
             f"_cs_{cat}", F.when(F.col("_resolved").isNull(), s)

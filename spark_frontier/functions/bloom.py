@@ -261,13 +261,38 @@ def dedup_unseen(
         return frontier.join(seen.select(key_col), on=key_col, how="left_anti")
 
     if probe == "distributed":
+        # scale path: the frontier is already cogroup-shuffled on seg_id;
+        # keep the two-branch union so ONLY the maybe-seen slice (FPR +
+        # true dups) enters the exact anti-join's shuffle. Callers pair
+        # this with a materialized frontier, so the branches don't
+        # recompute the upstream.
         flagged = probe_distributed(frontier, segments, key_col, n_segments)
-    else:
-        fn = might_contain_udf(frontier.sparkSession, segments, n_segments)
-        flagged = frontier.withColumn("_maybe_seen", fn(F.col(key_col)))
-    definitely_unseen = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_unseen = needs_check.join(
-        seen.select(key_col), on=key_col, how="left_anti"
+        definitely_unseen = flagged.filter(~F.col("_maybe_seen")).drop(
+            "_maybe_seen"
+        )
+        needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        confirmed_unseen = needs_check.join(
+            seen.select(key_col), on=key_col, how="left_anti"
+        )
+        return definitely_unseen.unionByName(confirmed_unseen)
+
+    # broadcast probe: SINGLE-PASS negative-pass-through. A union of two
+    # filtered branches over a LAZY frontier physically duplicates the
+    # whole upstream (Catalyst does not common-subexpression two python-UDF
+    # subtrees, measured as twin ~35-core-s stages in the fused wave job);
+    # instead the probe verdict becomes a conditional join key — NULL for
+    # definitely-unseen rows, which can never match, so they pass the
+    # anti-join unconditionally while maybe-seen rows get the exact check.
+    # One consumer, zero recompute, same exact result. The seen side is
+    # explicitly broadcast: this mode is for seen sets that fit executor
+    # memory (the 10^10-key path is probe='distributed' above).
+    fn = might_contain_udf(frontier.sparkSession, segments, n_segments)
+    flagged = frontier.withColumn("_maybe_seen", fn(F.col(key_col)))
+    seen_k = seen.select(F.col(key_col).alias("_probe_key"))
+    return (
+        flagged.withColumn(
+            "_probe_key", F.when(F.col("_maybe_seen"), F.col(key_col))
+        )
+        .join(F.broadcast(seen_k), on="_probe_key", how="left_anti")
+        .drop("_probe_key", "_maybe_seen")
     )
-    return definitely_unseen.unionByName(confirmed_unseen)

@@ -283,6 +283,149 @@ def _run_cycle_inner(
     sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
     seeds = sites.select("site_id", "site_seq", "sitemap_url")
 
+    links_tbl = store.table("links")
+    host_tbl = store.table("host_state")
+    bloom_tbl = store.table("bloom")
+    logs_tbl = store.table("crawl_logs")
+
+    # Async state-commit lanes: links / host_state / fetch_log / bloom /
+    # logs / watermark commits don't gate the next wave's reads (their
+    # DataFrames stay in memory for the cycle), so they run on background
+    # threads. All futures are joined before the cycle returns, so the
+    # on-disk state a *completed* cycle leaves behind is unchanged.
+    #
+    # PER-TABLE ordering, CROSS-table parallelism: commits to one table
+    # must serialize (two threads appending would race on the manifest
+    # file list, and a later host-state snapshot must never be overwritten
+    # by an earlier one), but commits to DIFFERENT tables are independent
+    # Spark jobs — running them on one worker made the end-of-cycle tail a
+    # serial ~5 s chain (measured round 3; in a single-wave drain cycle
+    # there is no next wave to hide it behind). Each lane key chains its
+    # futures; distinct keys run concurrently on the pool.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    pending: list = []
+    _lane_tail: dict[str, object] = {}
+    _lane_lock = __import__("threading").Lock()
+
+    def _async(fn, *a, _lane: str = "state", **k):
+        with _lane_lock:
+            prev = _lane_tail.get(_lane)
+
+            def _run(prev=prev):
+                if prev is not None:
+                    prev.result()  # strict order within the lane
+                # FAIR pool: commit jobs interleave with in-flight wave
+                # stages instead of queueing behind them
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "commits"
+                )
+                try:
+                    return fn(*a, **k)
+                finally:
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", None
+                    )
+
+            fut = pool.submit(_run)
+            _lane_tail[_lane] = fut
+        pending.append(fut)
+        return fut
+
+    # Cycle-init state (seen read, bloom provenance check/agg/rebuild,
+    # host-state read) is INDEPENDENT of sitemap discovery, so it runs on
+    # a pool thread in the "init" FAIR scheduler pool: its small jobs
+    # interleave with the expand stages instead of serializing ~1-3 s of
+    # job latency after them. Joined right before the wave loop needs it.
+    def _init_state():
+        # SNAPSHOT-ISOLATED seen set: read ONCE at cycle start (the
+        # SnapTable file list is immutable per snapshot). In-cycle
+        # additions are covered by the `attempted` set, so the bloom built
+        # here stays valid for the whole cycle — waves never touch it.
+        #
+        # EXACTNESS INVARIANT: a bloom miss bypasses the exact anti-join,
+        # so the bloom must be a SUPERSET of the seen set it fronts.
+        # Enforced by provenance, not commit ordering: every bloom commit
+        # records the links snapshot id it covers (``covers_links``); at
+        # cycle start a bloom whose covers_links ≠ the current links HEAD
+        # (crash before the bloom commit, retention delete, ...) is
+        # rebuilt from the full seen set. Extra bloom keys are harmless
+        # (extra anti-join probes only).
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "init")
+        try:
+            links_snapshot = links_tbl.snapshot_id
+            seen = links_tbl.read(spark)
+            segments = None
+            bloom_m_bits = None
+            if seen is None:
+                seen = spark.createDataFrame([], "url_key long")
+            elif use_bloom:
+                segments = bloom_tbl.read(spark)
+                if segments is not None:
+                    _bmeta = bloom_tbl.summary()
+                    if (_bmeta.get("covers_links") != links_snapshot
+                            or _bmeta.get("n_segments", bloom_segments)
+                            != bloom_segments):
+                        # stale provenance, or built under a different
+                        # segment modulus (probing with the wrong modulus
+                        # would read the wrong bitmap → false negatives)
+                        # → full rebuild
+                        segments = None
+                    else:
+                        # ONE agg job: capacity check + the m_bits the
+                        # delta build needs (a second agg per cycle is
+                        # pure serial tail)
+                        cap = segments.agg(
+                            F.sum("m_bits").alias("mb"),
+                            F.sum("n_items").alias("n"),
+                            F.count_distinct("m_bits").alias("sizes"),
+                            F.max("m_bits").alias("mx"),
+                        ).collect()[0]
+                        if ((cap["n"] and cap["n"] * 14 > cap["mb"])
+                                or cap["sizes"] != 1):
+                            segments = None  # outgrown/non-uniform
+                        else:
+                            bloom_m_bits = cap["mx"]
+                if segments is None:
+                    # UNIFORM m_bits across segments (2× headroom over the
+                    # current seen count) so end-of-cycle delta segments
+                    # can be OR-merged
+                    import math as _math
+
+                    n_seen = seen.count()
+                    per_seg = max(n_seen // bloom_segments, 1)
+                    uniform_bits = max(
+                        64, 1 << _math.ceil(_math.log2(per_seg * 14 * 2))
+                    )
+                    segments = build_bloom_segments(
+                        seen.select("url_key"), n_segments=bloom_segments,
+                        m_bits=uniform_bits,
+                    ).transform(materialize)
+                    _async(
+                        bloom_tbl.overwrite, segments,
+                        summary={"op": "bloom_build",
+                                 "covers_links": links_snapshot,
+                                 "n_segments": bloom_segments},
+                        small=True, _lane="links",
+                    )
+                    bloom_m_bits = uniform_bits  # known by construction
+
+            # host state: read once, then carried IN MEMORY between waves
+            # (the table write is resume state only → async)
+            hs = host_tbl.read(spark)
+            if hs is None:
+                hs = empty_host_state(spark)
+            return seen, segments, bloom_m_bits, hs
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    _init_pool = _TPE(max_workers=1)
+    fut_state = _init_pool.submit(_init_state)
+    _init_pool.shutdown(wait=False)
+
     # --- discovery: sitemap BFS + recency + candidate build -------------
     # expand already localCheckpoints each BFS level; counts on the
     # checkpointed levels are near-free.
@@ -359,84 +502,9 @@ def _run_cycle_inner(
             F.lit(None).cast("string").alias("error_message"),
         )
 
-    links_tbl = store.table("links")
-    host_tbl = store.table("host_state")
-    bloom_tbl = store.table("bloom")
-    logs_tbl = store.table("crawl_logs")
 
-    # Async state-commit lane: host_state / fetch_log / bloom / watermark
-    # commits don't gate the next wave's reads (their DataFrames stay in
-    # memory for the cycle), so they run on a background thread and only
-    # the links append — the real data commit — stays on the critical
-    # path. All futures are joined before the cycle returns, so the
-    # on-disk state a *completed* cycle leaves behind is unchanged.
-    from concurrent.futures import ThreadPoolExecutor
-
-    # ONE worker: async commits are ordered (appends to the same table
-    # from two threads would race on the manifest file list, and a later
-    # host-state snapshot must never be overwritten by an earlier one)
-    pool = ThreadPoolExecutor(max_workers=1)
-    pending: list = []
-
-    def _async(fn, *a, **k):
-        pending.append(pool.submit(fn, *a, **k))
-
-    # SNAPSHOT-ISOLATED seen set: read ONCE at cycle start (the SnapTable
-    # file list is immutable per snapshot). In-cycle additions are covered
-    # by the `attempted` set, so the bloom built here stays valid for the
-    # whole cycle — waves never touch it.
-    #
-    # EXACTNESS INVARIANT: a bloom miss bypasses the exact anti-join, so
-    # the bloom must be a SUPERSET of the seen set it fronts. Enforced by
-    # provenance, not commit ordering: every bloom commit records the links
-    # snapshot id it covers (``covers_links``); at cycle start a bloom
-    # whose covers_links ≠ the current links HEAD (crash before the bloom
-    # commit, retention delete, ...) is rebuilt from the full seen set.
-    # Extra bloom keys are harmless (extra anti-join probes only).
-    links_snapshot = links_tbl.snapshot_id
-    seen = links_tbl.read(spark)
-    segments = None
-    bloom_m_bits = None
-    if seen is None:
-        seen = spark.createDataFrame([], "url_key long")
-    elif use_bloom:
-        segments = bloom_tbl.read(spark)
-        if segments is not None:
-            _bmeta = bloom_tbl.summary()
-            if (_bmeta.get("covers_links") != links_snapshot
-                    or _bmeta.get("n_segments", bloom_segments)
-                    != bloom_segments):
-                # stale provenance, or built under a different segment
-                # modulus (probing with the wrong modulus would read the
-                # wrong bitmap → false negatives) → full rebuild
-                segments = None
-            else:
-                cap = segments.agg(
-                    F.sum("m_bits").alias("mb"), F.sum("n_items").alias("n"),
-                    F.count_distinct("m_bits").alias("sizes"),
-                ).collect()[0]
-                if (cap["n"] and cap["n"] * 14 > cap["mb"]) or cap["sizes"] != 1:
-                    segments = None  # outgrown/non-uniform → full rebuild
-        if segments is None:
-            # UNIFORM m_bits across segments (2× headroom over the current
-            # seen count) so end-of-cycle delta segments can be OR-merged
-            import math as _math
-
-            n_seen = seen.count()
-            per_seg = max(n_seen // bloom_segments, 1)
-            uniform_bits = max(64, 1 << _math.ceil(_math.log2(per_seg * 14 * 2)))
-            segments = build_bloom_segments(
-                seen.select("url_key"), n_segments=bloom_segments,
-                m_bits=uniform_bits,
-            ).transform(materialize)
-            _async(
-                bloom_tbl.overwrite, segments,
-                summary={"op": "bloom_build", "covers_links": links_snapshot,
-                         "n_segments": bloom_segments},
-                small=True,
-            )
-        bloom_m_bits = segments.agg(F.max("m_bits")).collect()[0][0]
-    _tr("bloom_init")
+    seen, segments, bloom_m_bits, hs = fut_state.result()
+    _tr("state_init")
 
     # In-cycle attempted set: the reference iterates its new-URL list ONCE
     # per cycle (crawl_scheduler.py:232-241) — failures are not retried
@@ -446,11 +514,11 @@ def _run_cycle_inner(
 
     from pyspark.sql import Observation
 
-    # host state: read once, then carried IN MEMORY between waves (the
-    # table write is resume state only → async)
-    hs = host_tbl.read(spark)
-    if hs is None:
-        hs = empty_host_state(spark)
+    # the fold for wave k stays LAZY until wave k+1 actually needs it —
+    # for the final wave it computes on the async commit lane
+    hs_next: DataFrame | None = None  # lazy fold from the latest wave
+
+    _HS_LITERAL_CAP = 4096  # above this, broadcast-join the state instead
 
     wave_key_slices: list[DataFrame] = []  # valid keys per wave (for bloom)
     wave_site_slices: list[DataFrame] = []  # (site_id, is_valid) for K3 logs
@@ -461,6 +529,17 @@ def _run_cycle_inner(
             if wave == 2 and not candidates_ckpt:
                 candidates = candidates.transform(materialize)
                 candidates_ckpt = True
+            if hs_next is not None:
+                hs = hs_next.transform(materialize)
+                hs_next = None
+            # LITERALIZE small host state: every broadcast exchange is a
+            # separate driver-scheduled job (~0.5-1 s serial wall each, at
+            # any core count); with ≤4096 hosts the state rows inline into
+            # the plan as literal maps/filters — zero extra jobs per wave.
+            # Above the cap (the 10^6-host design point) the broadcast
+            # join path is used unchanged.
+            hs_rows = hs.limit(_HS_LITERAL_CAP + 1).collect()
+            hs_literal = len(hs_rows) <= _HS_LITERAL_CAP
             unseen = dedup_unseen(
                 candidates, seen.select("url_key"), segments=segments,
                 n_segments=bloom_segments, probe=bloom_probe,
@@ -470,9 +549,15 @@ def _run_cycle_inner(
 
             # --- blocked-host gate (F10) ---------------------------------
             obs_unseen = Observation(f"unseen_w{wave}")
-            unseen = unseen.observe(
-                obs_unseen, F.count(F.lit(1)).alias("n")
-            ).join(F.broadcast(blocked_hosts(hs)), on="host", how="left_anti")
+            unseen = unseen.observe(obs_unseen, F.count(F.lit(1)).alias("n"))
+            if hs_literal:
+                blocked = [r["host"] for r in hs_rows if r["is_blocked"]]
+                if blocked:
+                    unseen = unseen.filter(~F.col("host").isin(blocked))
+            else:
+                unseen = unseen.join(
+                    F.broadcast(blocked_hosts(hs)), on="host", how="left_anti"
+                )
 
             # --- politeness deadlines + wave selection --------------------
             # Drain mode: the wave IS the politeness window (≤ max_per_host
@@ -481,7 +566,8 @@ def _run_cycle_inner(
             # trigger_s) to honor wall clock; logical time keeps tests
             # deterministic.
             scheduled = assign_deadlines(
-                unseen, hs, batch_ts, max_per_host=max_per_host
+                unseen, hs_rows if hs_literal else hs, batch_ts,
+                max_per_host=max_per_host,
             )
 
             # --- ONE materialization per wave: dedup → schedule → fetch →
@@ -522,11 +608,21 @@ def _run_cycle_inner(
             # The wave was exactly deduped against (seen ∪ attempted), so
             # every valid key is NEW — the upsert degenerates to an APPEND
             # (no O(table) copy-on-write rewrite; Iceberg MOR equivalent).
+            # The links append reads only the CHECKPOINTED rows_full, and
+            # the next wave dedups against (snapshot-isolated seen ∪
+            # in-memory attempted) — never the new links — so the append
+            # can ride the async lane too, overlapping the next wave's
+            # compute. The lane is drained before the cycle returns, and a
+            # crash before the append simply re-crawls the wave on resume
+            # (keys are still absent from links → dedup readmits; append
+            # stays duplicate-free).
             valid_rows = rows_full.filter(F.col("is_valid")).select(*LINK_COLUMNS)
-            links_tbl.append(
+            _async(
+                links_tbl.append,
                 valid_rows,
                 summary={"op": "wave", "wave": wave, "rows": n_wave,
                          "fetched_ok": n_ok, "valid": n_valid},
+                _lane="links",
             )
             _tr(f"wave{wave}_links_append")
             wave_key_slices.append(
@@ -537,18 +633,20 @@ def _run_cycle_inner(
                 rows_full.select("url", "url_key", "host", "http_code",
                                  "is_valid", "invalid_reason", "first_seen_at"),
                 summary={"op": "fetch_lineage", "wave": wave, "rows": n_wave},
+                _lane="fetch_log",
             )
 
             if collect_metrics:
                 wave_site_slices.append(rows_full.select("site_id", "is_valid"))
 
-            # host-state fold: carried in memory for the next wave; the
-            # table commit is crash-resume state → async
-            hs = update_host_state(
+            # host-state fold: LAZY — materialized only if a next wave
+            # runs (loop top); the final wave's fold computes inside the
+            # async host_state commit, off the critical path
+            hs_next = update_host_state(
                 hs,
                 rows_full.select("host", "politeness_deadline", "http_code"),
                 batch_ts,
-            ).transform(materialize)
+            )
             _tr(f"wave{wave}_hoststate")
 
             if stop_after_wave is not None and wave >= stop_after_wave:
@@ -571,26 +669,46 @@ def _run_cycle_inner(
             from spark_frontier.functions.bloom import merge_bloom_segments
 
             new_keys = reduce(lambda a, b: a.unionByName(b), wave_key_slices)
-            delta = build_bloom_segments(
-                new_keys, n_segments=bloom_segments, m_bits=int(bloom_m_bits)
-            )
-            segments = materialize(merge_bloom_segments(segments, delta))
-            _async(
-                bloom_tbl.overwrite, segments,
-                summary={"op": "bloom_delta", "n_segments": bloom_segments,
-                         "covers_links": links_tbl.snapshot_id},
-                small=True,
-            )
+            seg_in, mb = segments, int(bloom_m_bits)
+
+            def _compute_bloom_delta():
+                # independent lane: the merge's Spark work overlaps the
+                # other commit lanes; only the tiny table write below
+                # needs the links ordering
+                delta = build_bloom_segments(
+                    new_keys, n_segments=bloom_segments, m_bits=mb
+                )
+                return materialize(merge_bloom_segments(seg_in, delta))
+
+            fut_bloom = _async(_compute_bloom_delta, _lane="bloom_compute")
+
+            def _commit_bloom_delta():
+                # runs on the links lane AFTER the queued links appends,
+                # so links_tbl.snapshot_id — read HERE, at commit time —
+                # is the cycle-final head this bloom covers (waiting on an
+                # EARLIER-submitted future is deadlock-free: pool workers
+                # pick tasks in submission order)
+                bloom_tbl.overwrite(
+                    fut_bloom.result(),
+                    summary={"op": "bloom_delta", "n_segments": bloom_segments,
+                             "covers_links": links_tbl.snapshot_id},
+                    small=True,
+                )
+
+            _async(_commit_bloom_delta, _lane="links")
             _tr("bloom_delta")
 
         # host-state: ONE commit per cycle (the reference loses this state
         # entirely on restart — rate_limiter.py:16-24; we persist the
         # cycle-final fold; a mid-cycle crash resumes with the previous
-        # cycle's politeness state, which only ever *over*-throttles)
+        # cycle's politeness state, which only ever *over*-throttles).
+        # The final wave's fold is still lazy here — it computes inside
+        # this async commit.
         if report.waves > 0:
-            _async(host_tbl.overwrite, hs,
+            _async(host_tbl.overwrite,
+                   hs_next if hs_next is not None else hs,
                    summary={"op": "host_state", "waves": report.waves},
-                   small=True)
+                   small=True, _lane="host_state")
 
         # --- per-site per-phase crawl logs (K3 parity) --------------------
         if collect_metrics and wave_site_slices:
@@ -614,7 +732,7 @@ def _run_cycle_inner(
                     _site_log_rows(per_site, "article", batch_ts)
                 ),
                 summary={"op": "site_logs"},
-                small=True,
+                small=True, _lane="crawl_logs",
             )
 
         # --- cycle bookkeeping: log row + last_crawl_at watermark --------
@@ -645,7 +763,8 @@ def _run_cycle_inner(
         # two threads appending to crawl_logs concurrently would race on
         # the manifest file list and silently drop whichever committed
         # first. One lane ⇒ all crawl_logs commits serialize.
-        _async(logs_tbl.append_local, log_pdf, summary=report.as_dict())
+        _async(logs_tbl.append_local, log_pdf, summary=report.as_dict(),
+               _lane="crawl_logs")
 
         sites_updated = world["sites"].withColumn(
             "last_crawl_at",
@@ -654,7 +773,7 @@ def _run_cycle_inner(
             ),
         )
         _async(store.table("sites").overwrite, sites_updated,
-               summary={"op": "watermark"}, small=True)
+               summary={"op": "watermark"}, small=True, _lane="sites")
         _tr("bookkeeping")
     finally:
         # join the async commit lane: a cycle only RETURNS once all its

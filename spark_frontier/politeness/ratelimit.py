@@ -51,9 +51,34 @@ def assign_deadlines(
 
     candidates must carry (url, host, site_seq, depth, path, sitemap_pos).
     host_state (host, refill_rate, rate_limit_until, last_fetch_ts) is the
-    checkpointed politeness state (None → defaults).
+    checkpointed politeness state (None → defaults). It may be passed as a
+    DataFrame (broadcast join — the 10^6-host path) or as a LIST of
+    collected rows: a list becomes literal lookup maps inside the plan,
+    which skips the per-wave broadcast-exchange job entirely (measured
+    ~0.5-1 s of serial driver/scheduler wall per broadcast at any core
+    count — pure scaling tail). Callers literalize only when the host
+    count is small (crawl.py caps at 4096).
     """
-    if host_state is not None:
+    if isinstance(host_state, list):
+        def _lit_map(field):
+            pairs = [
+                x
+                for r in host_state
+                if r[field] is not None
+                for x in (F.lit(r["host"]), F.lit(r[field]))
+            ]
+            return F.create_map(*pairs) if pairs else None
+
+        for field, typ in (("refill_rate", "double"),
+                           ("rate_limit_until", "timestamp"),
+                           ("last_fetch_ts", "timestamp")):
+            m = _lit_map(field)
+            candidates = candidates.withColumn(
+                field,
+                m[F.col("host")] if m is not None
+                else F.lit(None).cast(typ),
+            )
+    elif host_state is not None:
         candidates = candidates.join(
             F.broadcast(
                 host_state.select(

@@ -81,14 +81,26 @@ def expand_sitemap_tree(
         # re-attach lineage (site, depth, path) lost through the parse UDF;
         # checkpoint ONCE per level (parse is the expensive stage) and
         # derive url-rows and children lazily from the checkpointed level
+        from pyspark.sql import Observation as _Obs2
+
+        obs_idx = _Obs2(f"expand_nindex_d{depth}")
         entries = parsed.join(
             F.broadcast(
                 worklist.select("sitemap_url", "site_id", "site_seq", "depth", "path")
             ),
             on="sitemap_url",
             how="inner",
+        ).observe(
+            obs_idx,
+            F.sum(F.when(F.col("is_index"), 1).otherwise(0)).alias("ni"),
         ).transform(materialize)
         results.append(entries.filter(~F.col("is_index")).drop("is_index"))
+
+        # leaf level (no index children) → done; skip the would-be-empty
+        # children materialize+count job entirely (one less serial job on
+        # the common ≤2-level sitemap tree)
+        if int(obs_idx.get["ni"] or 0) == 0:
+            break
 
         children = (
             entries.filter(F.col("is_index"))

@@ -93,7 +93,12 @@ class SnapTable:
         out_dir = os.path.join(self.path, "data", snapshot_id)
         if small:
             df = df.coalesce(1)  # state tables: one file beats N tiny files
-        df.write.mode("overwrite").parquet(out_dir)
+        # snappy, not the session's zstd default: state-table commits sit
+        # on the cycle's end-to-end latency and snappy encodes ~3× faster;
+        # the ~1.3× size cost is irrelevant at state-table scale
+        df.write.mode("overwrite").option("compression", "snappy").parquet(
+            out_dir
+        )
         return sorted(
             os.path.join(out_dir, f)
             for f in os.listdir(out_dir)
