@@ -72,7 +72,7 @@ def ensure_bench_world() -> str:
     return BENCH_WORLD
 
 
-def _one_cycle(spark, world, cores: int, fuse: bool = True):
+def _one_cycle(spark, world, cores: int, fuse: bool = False):
     import tempfile
 
     from spark_frontier.pipeline.crawl import run_crawl_cycle, seed_seen_store
@@ -88,33 +88,31 @@ def _one_cycle(spark, world, cores: int, fuse: bool = True):
         max_per_host=10_000_000,  # drain in one politeness wave
         use_bloom=True, bloom_segments=16, salt_buckets=max(cores // 2, 4),
         collect_metrics=False,
-        # fused: discovery (canonicalize/robots/recency) flows straight
-        # into the wave job — no candidates materialization barrier. The
-        # round-1 two-UDFs-per-stage oversubscription no longer applies:
-        # the url_key-dedupe window now puts a shuffle between the
-        # canonicalize UDF and the bloom-probe UDF, so each stage still
-        # runs exactly one python worker per task slot. Measured best at
-        # the pinned criterion legs; the unpinned 32-core leg prefers the
-        # materialization barrier (python workers overlap the JVM there).
+        # non-fused (default): candidates materialize once, so the wave
+        # job's python-UDF stages overlap JVM stages instead of
+        # serializing behind the discovery chain — measured equal to
+        # fused at 2-8 pinned cores and ~1.5× faster at 32 (round 3)
         fuse_discovery=fuse,
     )
     return time.time() - t0, report, store_dir
 
 
 def run_frontier_bench(cores: int, timed_cycles: int = 2,
-                       aqe: bool = False, fuse: bool = True) -> dict:
+                       aqe: bool = False, fuse: bool = False) -> dict:
     """Steady-state crawl-cycle throughput: one UNTIMED warmup cycle (JIT
     compilation + python worker pool — a real cluster crawls continuously,
     so warm executors are the representative state), then ``timed_cycles``
     timed cycles on the full bench world, fresh store each, min wall.
 
-    ``aqe``: the criterion legs run AQE OFF — every join strategy in the
-    pipeline is already explicit (broadcast hints on dims, shuffle_hash on
-    the fetch join), so AQE's only observable effect there is splitting
-    each query into a JOB PER STAGE with sequential materialization
-    barriers (measured ~15 s of flat per-cycle overhead at 8 cores:
-    71.6 s → 56.2 s). The full-machine leg keeps AQE ON — at 32 cores its
-    runtime coalescing wins back more than the barrier tail costs."""
+    ``aqe``: ALL legs run AQE OFF (round 3) — every join strategy in the
+    pipeline is explicit (broadcast hints on dims, shuffle_hash on the
+    fetch join, literal maps for tiny state), so AQE's only observable
+    effect is splitting each query into a JOB PER STAGE with sequential
+    materialization barriers. Round-3 matrix at 32 cores: AQE on 61-71 s
+    vs AQE off 31 s per cycle. ``fuse`` likewise defaults OFF everywhere:
+    a materialized candidates checkpoint lets the wave job's python-UDF
+    stages overlap JVM stages (measured equal at 2-8 cores, ~1.5× faster
+    at 32)."""
     import shutil
 
     from spark_frontier.pipeline.crawl import load_world
@@ -189,7 +187,7 @@ def run_query_bench() -> dict:
 
 def _frontier_in_subprocess(cores: int, pin: bool = True,
                             timed_cycles: int = 1, aqe: bool = False,
-                            fuse: bool = True) -> dict:
+                            fuse: bool = False) -> dict:
     """Each parallelism level gets a FRESH python+JVM: consecutive
     SparkContexts in one JVM contaminate each other (leftover python
     daemons, heap garbage, stale pools) and corrupt the comparison.
@@ -336,8 +334,7 @@ def main() -> None:
     fr_n = _frontier_in_subprocess(n_cores, timed_cycles=2)
     fr_4n = _frontier_in_subprocess(n4_cores, timed_cycles=3)
     full = (
-        _frontier_in_subprocess(CPUS, pin=False, timed_cycles=2, aqe=True,
-                                fuse=False)
+        _frontier_in_subprocess(CPUS, pin=False, timed_cycles=2)
         if CPUS > n4_cores else None
     )
 

@@ -41,6 +41,15 @@ def main() -> int:
                    help="ISO timestamp for logical time (default: now UTC)")
     p.add_argument("--cleanup-ttl-days", type=int, default=None,
                    help="also run retention cleanup with this TTL")
+    p.add_argument("--sites", action="store_true",
+                   help="list configured sites and exit "
+                        "(reference cli.py show_sites, :76-92)")
+    p.add_argument("--status", action="store_true",
+                   help="show blocked hosts + last committed cycle summary "
+                        "and exit (reference cli.py status, :47-73)")
+    p.add_argument("--init-db", action="store_true",
+                   help="create empty store tables and exit "
+                        "(reference cli.py init_db / init_tables)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,6 +72,67 @@ def main() -> int:
     )
     world = load_world(spark, args.world)
     store = SnapStore(args.store)
+
+    if args.init_db:
+        # reference init_tables parity: materialize the warehouse layout
+        # (empty committed tables) so a first crawl starts from a known
+        # catalog instead of implicit creation
+        from spark_frontier.pipeline.crawl import LINK_COLUMNS
+        from spark_frontier.politeness.backoff import empty_host_state
+
+        links = store.table("links")
+        if not links.exists():
+            empty_links = spark.createDataFrame(
+                [], "site_id string, url string, canon_url string, "
+                    "url_key long, url_hash string, host string, "
+                    "image_id string, caption string, title string, "
+                    "sport_category string, lastmod timestamp, "
+                    "published_at timestamp, http_code int, "
+                    "is_valid boolean, invalid_reason string, "
+                    "psnr_db double, first_seen_at timestamp",
+            ).select(*LINK_COLUMNS)
+            links.overwrite(empty_links, summary={"op": "init_db"})
+        host = store.table("host_state")
+        if not host.exists():
+            host.overwrite(empty_host_state(spark),
+                           summary={"op": "init_db"}, small=True)
+        print(json.dumps({"init_db": True,
+                          "tables": ["links", "host_state"]}))
+        return 0
+
+    if args.sites:
+        # reference show_sites parity (cli.py:76-92)
+        rows = world["sites"].orderBy("site_seq").collect()
+        out = [
+            {"site_id": r["site_id"], "name": r["name"],
+             "domain": r["domain"], "sitemap_url": r["sitemap_url"],
+             "is_active": bool(r["is_active"]),
+             "last_crawl_at": str(r["last_crawl_at"])
+             if r["last_crawl_at"] else None}
+            for r in rows
+        ]
+        print(json.dumps({"sites": out}))
+        return 0
+
+    if args.status:
+        # reference status parity (cli.py:47-73): blocked hosts from the
+        # committed host_state + last committed cycle funnel
+        from pyspark.sql import functions as F
+
+        from spark_frontier.politeness.backoff import blocked_hosts
+
+        hs = store.table("host_state").read(spark)
+        blocked = (
+            [r["host"] for r in blocked_hosts(hs).collect()]
+            if hs is not None else []
+        )
+        hist = store.table("crawl_logs").history()
+        print(json.dumps({
+            "blocked_hosts": blocked,
+            "last_cycle": hist[-1]["summary"] if hist else None,
+        }))
+        return 0
+
     if "url_seen" in world:
         seed_seen_store(store, world["url_seen"])
 

@@ -218,6 +218,19 @@ def serve_http(controller: CrawlController, port: int = 0):
                 self._send(200, controller.status())
             elif self.path == "/history":
                 self._send(200, controller.history())
+            elif self.path == "/sites":
+                # reference cli.py show_sites / GET sites parity
+                rows = controller._world["sites"].orderBy("site_seq").collect()
+                self._send(200, {
+                    "sites": [
+                        {"site_id": r["site_id"], "name": r["name"],
+                         "domain": r["domain"],
+                         "is_active": bool(r["is_active"]),
+                         "last_crawl_at": str(r["last_crawl_at"])
+                         if r["last_crawl_at"] else None}
+                        for r in rows
+                    ]
+                })
             else:
                 self._send(404, {"error": "not found"})
 

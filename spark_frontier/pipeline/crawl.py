@@ -16,15 +16,17 @@ snapshot summary (diagnose_pipeline.py:38-53 parity), which is the
 north_rule's per-batch lineage.
 
 RESUMABILITY: a cycle processes the frontier in WAVES (max_per_host per
-host per wave). Each wave's links append is an atomic commit on the
-critical path; secondary state (host_state, fetch_log, bloom, watermark)
-commits on a single-worker async lane that is fully drained before the
-cycle returns. A kill loses at most one uncommitted wave, and re-running
-the cycle is idempotent because dedup anti-joins the committed seen-store;
-a bloom whose ``covers_links`` provenance doesn't match the links HEAD is
-rebuilt, so no crash ordering can leak a duplicate past the bloom
-short-circuit. ``test_resume_equals_uninterrupted`` kills after wave 1 and
-proves the final links table equals the uninterrupted run's.
+host per wave). Every table commit rides an async lane keyed by table
+(strictly ordered within a table, concurrent across tables; the bloom
+delta chains after the links appends so its ``covers_links`` provenance
+reads the cycle-final head), and all lanes are fully drained before the
+cycle returns. A kill loses at most one uncommitted wave — its keys are
+still absent from links, so a resumed cycle re-crawls exactly that wave
+and the append stays duplicate-free; a bloom whose ``covers_links``
+provenance doesn't match the links HEAD is rebuilt, so no crash ordering
+can leak a duplicate past the bloom short-circuit.
+``test_resume_equals_uninterrupted`` kills after wave 1 and proves the
+final links table equals the uninterrupted run's.
 """
 
 from __future__ import annotations

@@ -130,3 +130,50 @@ def test_auto_loop_cleanup_cadence(spark, world_dir, tmp_path_factory):
     bloom_meta = store.table("bloom").summary()
     assert bloom_meta.get("op") in ("bloom_rebuild_after_retention",
                                     "bloom_build", "bloom_delta")
+
+
+def test_sites_endpoint_and_cli_surface(spark, world_dir, tmp_path_factory):
+    """Reference cli.py show_sites/status/init_db parity: GET /sites over
+    HTTP, and the jobs/run_crawl.py --sites/--status/--init-db flags."""
+    import sys
+
+    world = load_world(spark, world_dir)
+    store = SnapStore(str(tmp_path_factory.mktemp("sitesstore")))
+    ctl = CrawlController(spark, world, store, max_per_host=10_000)
+    server = serve_http(ctl, port=0)
+    try:
+        port = server.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/sites") as r:
+            sites = json.loads(r.read())["sites"]
+        assert len(sites) == 4
+        assert sites[0]["site_id"] == "site-0"
+        assert any(not s["is_active"] for s in sites)  # last site inactive
+    finally:
+        server.shutdown()
+
+    # CLI flags (reuse the active session via getOrCreate)
+    import jobs.run_crawl as cli
+    import io
+    from contextlib import redirect_stdout
+
+    store2 = str(tmp_path_factory.mktemp("clistore"))
+
+    def run_cli(*argv):
+        old = sys.argv
+        sys.argv = ["run_crawl.py", "--world", world_dir, "--store", store2,
+                    *argv]
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf):
+                rc = cli.main()
+        finally:
+            sys.argv = old
+        return rc, json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    rc, out = run_cli("--init-db")
+    assert rc == 0 and out["init_db"] and "links" in out["tables"]
+    assert SnapStore(store2).table("links").exists()
+    rc, out = run_cli("--sites")
+    assert rc == 0 and len(out["sites"]) == 4
+    rc, out = run_cli("--status")
+    assert rc == 0 and out["blocked_hosts"] == []
