@@ -26,6 +26,7 @@ from __future__ import annotations
 import gzip
 import re
 from collections.abc import Iterator
+from datetime import datetime, timezone
 from xml.etree import ElementTree as ET
 
 import pandas as pd
@@ -67,21 +68,31 @@ _RE_LASTMOD = re.compile(r"<lastmod[^>]*>\s*(.*?)\s*</lastmod>", re.DOTALL | re.
 
 
 def parse_date(raw: str | None):
-    """dateutil parse, None on failure (parser.py:36-44 semantics).
-    Naive-ized to UTC so Spark TimestampType comparisons are consistent."""
+    """dateutil-equivalent parse, None on failure (parser.py:36-44
+    semantics). Naive-ized to UTC so Spark TimestampType comparisons are
+    consistent.
+
+    FAST PATH: ``datetime.fromisoformat`` (C, ~1 µs) handles the ISO-8601
+    shapes that dominate real sitemaps (YYYY-MM-DD, RFC-3339 with Z or
+    offset) and agrees with dateutil on every string it accepts; only the
+    long tail (RFC-822 dates, '15 Aug 2026', ...) pays the ~40 µs dateutil
+    call. At millions of lastmods per cycle the dateutil-always path was
+    the single biggest cost of the parse stage."""
     if not raw:
         return None
+    s = raw.strip()
     try:
-        from dateutil import parser as dp
+        dt = datetime.fromisoformat(s)
+    except (ValueError, TypeError):
+        try:
+            from dateutil import parser as dp
 
-        dt = dp.parse(raw.strip())
-        if dt.tzinfo is not None:
-            from datetime import timezone
-
-            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
-        return dt
-    except (ValueError, OverflowError, TypeError):
-        return None
+            dt = dp.parse(s)
+        except (ValueError, OverflowError, TypeError):
+            return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def decode_content(raw: bytes | None) -> str:

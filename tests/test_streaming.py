@@ -210,3 +210,91 @@ def test_stream_k5_executor_push(spark, world_dir, tmp_path_factory):
         .filter(F.col("site_id").isNotNull()).select("url_key").collect()
     )
     assert len(pushed) == total - seeded
+
+
+def test_stateful_backoff_matches_batch_fold(spark, tmp_path_factory):
+    """applyInPandasWithState per-host throttle state across micro-batches
+    equals the batch operator's single fold over the same data (T2/T3
+    parity in the streaming shape)."""
+    from datetime import datetime, timedelta
+
+    from spark_frontier.politeness.backoff import (
+        empty_host_state,
+        update_host_state,
+    )
+    from spark_frontier.streaming.stateful import stateful_host_backoff
+
+    t0 = datetime(2026, 8, 15, 12, 0, 0)
+    batch_ts = datetime(2026, 8, 15, 13, 0, 0)
+    # deterministic per-host code sequences covering reset, blocking, 429
+    # halving, and a clean host; deadlines increase with sequence position
+    seqs = {
+        "block.com": [429, 403, 429, 403, 429, 404],
+        "reset.com": [429, 429, 200, 500, 404],
+        "limit.com": [429, 429, 429, 429, 429, 429],
+        "ok.com": [200, 200, 301],
+    }
+    rows = []
+    for host, codes in seqs.items():
+        for i, c in enumerate(codes):
+            rows.append((host, t0 + timedelta(seconds=10 * i), c))
+    df = spark.createDataFrame(
+        rows, "host string, politeness_deadline timestamp, http_code int"
+    )
+
+    expected = {
+        r["host"]: r
+        for r in update_host_state(
+            empty_host_state(spark), df, batch_ts
+        ).collect()
+    }
+
+    # stream the same rows in 3 files, ordered so arrival order == deadline
+    # order (the stream-time contract)
+    src = str(tmp_path_factory.mktemp("sf_src"))
+    import os
+
+    for k in range(3):
+        part = df.filter(
+            F.floor((F.unix_timestamp("politeness_deadline") % 60) / 20) == k
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"f{k}")
+        )
+    stream = (
+        spark.readStream.schema(
+            "host string, politeness_deadline timestamp, http_code int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stateful_host_backoff(stream, batch_ts)
+    captured: list = []
+
+    def _capture(bdf, bid):
+        captured.extend((int(bid), r) for r in bdf.collect())
+
+    q = (
+        out.writeStream.foreachBatch(_capture)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", str(tmp_path_factory.mktemp("sf_ckpt"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # highest-batch-id update per host is the final state
+    final = {}
+    for bid, r in sorted(captured, key=lambda x: x[0]):
+        final[r["host"]] = r
+    assert set(final) == set(expected)
+    for host in expected:
+        e, g = expected[host], final[host]
+        assert g["consecutive_failures"] == e["consecutive_failures"], host
+        assert g["is_blocked"] == e["is_blocked"], host
+        assert list(g["recent_codes"]) == list(e["recent_codes"]), host
+        assert abs(g["refill_rate"] - e["refill_rate"]) < 1e-9, host
+        assert g["rate_limit_until"] == e["rate_limit_until"], host
+        assert g["last_fetch_ts"] == e["last_fetch_ts"], host
