@@ -518,6 +518,28 @@ def q26_backoff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means posting lists (seed 42, 5 Lloyd
+    iters), probe the 4 nearest lists, exact cosine top-k on the slice —
+    the partition-pruned scale path next to q23's LSH variant. Iterative
+    (k-means) → not SQL-expressible → rows-only."""
+    from spark_frontier.analytics.similarity import (
+        ivf_assignments,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+        "embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    centroids = kmeans_fit(corpus, n_centroids=8, n_iter=3)
+    top = ivf_topk(
+        ivf_assignments(corpus, centroids), centroids, qvec, k=10, n_probe=3
+    )
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth input_hint table → decode → channel stats
     (no driver images table, so the input is generated deterministically)."""
@@ -568,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_minhash_lsh": q21_minhash_lsh,
         "q22_simhash": q22_simhash,
         "q23_ann_lsh": q23_ann_lsh,
+        "q29_ann_ivf": q29_ann_ivf,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -830,8 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "q21_minhash_lsh": _q21_oracle(),
         "q22_simhash": _q22_oracle(),
         "q23_ann_lsh": _q23_oracle(),
-        # q24 (binary image payloads): rows-only — decode isn't
-        # SQL-expressible
+        # q24 (binary image payloads) and q29 (iterative k-means IVF):
+        # rows-only — decode / Lloyd iterations aren't SQL-expressible
     }
 
 

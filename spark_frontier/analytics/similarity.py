@@ -11,6 +11,7 @@ aggregate) — whole-stage codegen, no Python in the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,3 +131,147 @@ def ann_query(
     sigs = tbl.read(spark)
     cand = sigs.filter(F.col("bucket").isin(probe))
     return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucketed scale path
+
+
+def kmeans_fit(
+    embeddings: DataFrame, n_centroids: int = 16, n_iter: int = 5,
+    seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Deterministic Lloyd k-means, DataFrame-native: assignment runs as a
+    vectorized pandas UDF over broadcast centroids; the centroid update is
+    a posexplode → groupBy(centroid, dim) avg (one shuffle of n·d scalar
+    rows, map-side combined); only the (n_centroids × d) centroid matrix
+    ever reaches the driver. Init = seeded sample of the corpus (fixed
+    seed → bit-stable across runs). Returns the centroid ndarray."""
+    # pandas imported at module level
+    from pyspark.sql import functions as F2
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[vec_col])
+    # deterministic init: order by xxhash64(id, seed), take n_centroids
+    init_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in init_rows], dtype=np.float64)
+
+    for _ in range(n_iter):
+        c = centroids  # rebind for closure capture per iteration
+
+        @pandas_udf(IntegerType())
+        def _assign(vecs: pd.Series) -> pd.Series:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            # nearest by euclidean distance; ties → lowest centroid id
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        assigned = embeddings.select(
+            id_col, vec_col, _assign(F.col(vec_col)).alias("centroid")
+        )
+        sums = (
+            assigned.select(
+                "centroid", F2.posexplode(F.col(vec_col)).alias("dim", "v")
+            )
+            .groupBy("centroid", "dim")
+            .agg(F2.sum("v").alias("s"), F2.count("*").alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["centroid"], np.zeros(dim))[r["dim"]] = r["s"]
+            cnt[r["centroid"]] = r["n"]
+        for k, v in acc.items():
+            new_c[k] = v / cnt[k]
+        centroids = new_c
+    return centroids
+
+
+def ivf_assignments(
+    embeddings: DataFrame, centroids, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (the IVF posting-list
+    key). At 100 TB this table is written partitioned by ``centroid`` so a
+    probe reads only n_probe partitions."""
+    # pandas imported at module level
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return embeddings.select(
+        id_col, vec_col, _assign(F.col(vec_col)).alias("centroid")
+    )
+
+
+def ivf_topk(
+    assignments: DataFrame, centroids, query: list[float], k: int = 10,
+    n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query (driver-side
+    numpy — n_centroids × d floats), scan only the ``n_probe`` nearest
+    posting lists, exact cosine top-k on that slice. Recall is tuned by
+    n_probe; with partition-pruned posting lists the scan cost is
+    |corpus| · n_probe / n_centroids."""
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((c - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    probe = [int(x) for x in order[:n_probe]]
+    cand = assignments.filter(F.col("centroid").isin(probe))
+    return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def build_ivf_index(
+    embeddings: DataFrame, store, table: str = "ivf_index",
+    n_centroids: int = 16, n_iter: int = 5, seed: int = 42,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Persist the IVF index ONCE (SnapStore; Iceberg partitioned-by-
+    centroid in production). The centroid matrix rides in the snapshot
+    summary so queries need no side-channel."""
+    centroids = kmeans_fit(
+        embeddings, n_centroids=n_centroids, n_iter=n_iter, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    assigned = ivf_assignments(
+        embeddings, centroids, vec_col=vec_col, id_col=id_col
+    ).repartition("centroid").sortWithinPartitions("centroid")
+    store.table(table).overwrite(
+        assigned,
+        summary={"op": "ivf_index", "n_centroids": n_centroids,
+                 "seed": seed,
+                 "centroids": [[float(x) for x in row] for row in centroids]},
+    )
+    return centroids
+
+
+def ivf_query(
+    spark, store, query: list[float], k: int = 10, n_probe: int = 4,
+    table: str = "ivf_index", vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the PERSISTED IVF index (partition-pruned read at scale)."""
+    tbl = store.table(table)
+    centroids = np.array(tbl.summary()["centroids"], dtype=np.float64)
+    return ivf_topk(
+        tbl.read(spark), centroids, query, k=k, n_probe=n_probe,
+        vec_col=vec_col, id_col=id_col,
+    )

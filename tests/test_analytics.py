@@ -184,3 +184,48 @@ def test_embedding_neardup_unblocked_lsh(spark):
     got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
     # all planted pairs found (recall), nothing below threshold (verify)
     assert expected <= got
+
+
+def test_ivf_recall_and_persisted_index(spark, tmp_path_factory):
+    """IVF ANN (k-means posting lists): probing 3/8 lists on clustered
+    data recovers ≥7 of the exact top-10; the persisted index (centroids
+    in the snapshot summary) returns the same rows as the scan-time
+    variant; k-means is bit-deterministic for a fixed seed."""
+    from spark_frontier.analytics.similarity import (
+        build_ivf_index,
+        ivf_assignments,
+        ivf_query,
+        ivf_topk,
+        kmeans_fit,
+    )
+    from spark_frontier.storage import SnapStore
+
+    rng = np.random.default_rng(13)
+    dim, per = 16, 30
+    centers = rng.standard_normal((8, dim)) * 4.0
+    vecs = np.concatenate(
+        [centers[c] + rng.standard_normal((per, dim)) * 0.4 for c in range(8)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in (centers[2] + 0.1 * rng.standard_normal(dim))]
+
+    cents = kmeans_fit(df, n_centroids=8, n_iter=4, seed=42)
+    cents2 = kmeans_fit(df, n_centroids=8, n_iter=4, seed=42)
+    assert np.array_equal(cents, cents2)  # deterministic
+
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+    approx_rows = ivf_topk(
+        ivf_assignments(df, cents), cents, q, k=10, n_probe=3
+    ).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert len(exact & approx) >= 7
+
+    store = SnapStore(str(tmp_path_factory.mktemp("ivf")))
+    build_ivf_index(df, store, n_centroids=8, n_iter=4, seed=42)
+    persisted = ivf_query(spark, store, q, k=10, n_probe=3).collect()
+    assert [(r["vec_id"], round(r["cosine"], 6)) for r in persisted] == [
+        (r["vec_id"], round(r["cosine"], 6)) for r in approx_rows
+    ]
