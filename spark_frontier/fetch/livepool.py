@@ -67,13 +67,18 @@ async def _fetch_all(
                 if wait > 0:
                     await clock.sleep(wait)
             headers = {"User-Agent": row["ua"]} if row.get("ua") else {}
+
+            async def _get_and_read():
+                resp = await session.get(row["url"], headers=headers)
+                return int(resp.status), await resp.read()
+
             try:
-                resp = await asyncio.wait_for(
-                    session.get(row["url"], headers=headers),
-                    timeout=timeout_s,
+                # ONE deadline covers connect+headers AND the body read: a
+                # server that accepts the connection but stalls the body
+                # must not hold the pool's semaphores forever
+                code, body = await asyncio.wait_for(
+                    _get_and_read(), timeout=timeout_s
                 )
-                body = await resp.read()
-                code = int(resp.status)
             except Exception:
                 # connection error / timeout → status 0, like the
                 # hermetic fetch's missing-URL convention

@@ -237,6 +237,13 @@ def probe_distributed(
     return flagged.drop("_seg_id")
 
 
+# Above this many seen keys the broadcast probe stops force-broadcasting
+# the exact-check side: 8 M × 8 B keys ≈ 64 MB raw (~2-3× that as a JVM
+# hash relation) — past the point where shipping it whole to every
+# executor per wave beats a shuffle of only the maybe-seen slice.
+BROADCAST_SEEN_CAP = 8_000_000
+
+
 def dedup_unseen(
     frontier: DataFrame,
     seen: DataFrame,
@@ -244,6 +251,8 @@ def dedup_unseen(
     segments: DataFrame | None = None,
     n_segments: int = 32,
     probe: str = "broadcast",
+    seen_count: int | None = None,
+    broadcast_seen_cap: int = BROADCAST_SEEN_CAP,
 ) -> DataFrame:
     """Return frontier rows NOT in seen — exactly — using the bloom to
     shrink the anti-join probe side (reference dedup: repository.py:352-369
@@ -254,6 +263,12 @@ def dedup_unseen(
     ``probe='distributed'`` cogroups frontier×segments on seg_id — no
     driver collect, the 10^10-key path. Both feed the SAME
     negative-pass-through topology, so exactness never depends on the probe.
+
+    ``seen_count`` (if the caller knows it — the crawl cycle reads it off
+    the bloom summary agg it already runs) gates the exact-side broadcast:
+    above ``broadcast_seen_cap`` keys the anti-join runs as a plain
+    shuffle join of only the maybe-seen slice instead of force-shipping
+    the whole seen key set to every executor (OOM cliff as links grows).
 
     With ``segments=None`` falls back to the plain exact anti-join.
     """
@@ -289,10 +304,12 @@ def dedup_unseen(
     fn = might_contain_udf(frontier.sparkSession, segments, n_segments)
     flagged = frontier.withColumn("_maybe_seen", fn(F.col(key_col)))
     seen_k = seen.select(F.col(key_col).alias("_probe_key"))
+    if seen_count is None or seen_count <= broadcast_seen_cap:
+        seen_k = F.broadcast(seen_k)
     return (
         flagged.withColumn(
             "_probe_key", F.when(F.col("_maybe_seen"), F.col(key_col))
         )
-        .join(F.broadcast(seen_k), on="_probe_key", how="left_anti")
+        .join(seen_k, on="_probe_key", how="left_anti")
         .drop("_probe_key", "_maybe_seen")
     )

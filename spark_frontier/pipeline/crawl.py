@@ -360,18 +360,20 @@ def _run_cycle_inner(
             seen = links_tbl.read(spark)
             segments = None
             bloom_m_bits = None
+            seen_count = None  # known exactly when the bloom path runs
             if seen is None:
                 seen = spark.createDataFrame([], "url_key long")
+                seen_count = 0
             elif use_bloom:
                 segments = bloom_tbl.read(spark)
                 if segments is not None:
                     _bmeta = bloom_tbl.summary()
                     if (_bmeta.get("covers_links") != links_snapshot
-                            or _bmeta.get("n_segments", bloom_segments)
-                            != bloom_segments):
-                        # stale provenance, or built under a different
-                        # segment modulus (probing with the wrong modulus
-                        # would read the wrong bitmap → false negatives)
+                            or _bmeta.get("n_segments") != bloom_segments):
+                        # stale provenance, or built under a different —
+                        # or UNRECORDED (legacy snapshot: assuming it used
+                        # the current modulus would probe the wrong bitmap
+                        # → false negatives) — segment modulus
                         # → full rebuild
                         segments = None
                     else:
@@ -389,6 +391,7 @@ def _run_cycle_inner(
                             segments = None  # outgrown/non-uniform
                         else:
                             bloom_m_bits = cap["mx"]
+                            seen_count = int(cap["n"] or 0)
                 if segments is None:
                     # UNIFORM m_bits across segments (2× headroom over the
                     # current seen count) so end-of-cycle delta segments
@@ -396,6 +399,7 @@ def _run_cycle_inner(
                     import math as _math
 
                     n_seen = seen.count()
+                    seen_count = n_seen
                     per_seg = max(n_seen // bloom_segments, 1)
                     uniform_bits = max(
                         64, 1 << _math.ceil(_math.log2(per_seg * 14 * 2))
@@ -418,7 +422,7 @@ def _run_cycle_inner(
             hs = host_tbl.read(spark)
             if hs is None:
                 hs = empty_host_state(spark)
-            return seen, segments, bloom_m_bits, hs
+            return seen, segments, bloom_m_bits, hs, seen_count
         finally:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
@@ -428,103 +432,104 @@ def _run_cycle_inner(
     fut_state = _init_pool.submit(_init_state)
     _init_pool.shutdown(wait=False)
 
-    # --- discovery: sitemap BFS + recency + candidate build -------------
-    # expand already localCheckpoints each BFS level; counts on the
-    # checkpointed levels are near-free.
-    entries = expand_sitemap_tree(seeds, world["sitemap_pages"])
-    _tr("expand")
-
-    recent = filter_recent(entries, sites, days=days, now=batch_ts)
-
-    # --- robots gate (broadcast join; zero frontier shuffles) ------------
-    # parse DISTRIBUTED (mapInPandas per executor batch): only the compact
-    # rules rows reach the driver-side broadcast, never the robots bodies —
-    # at 10^6-10^7 hosts the round-2 collect()-then-parse loop was GBs
-    # through the driver and minutes of single-threaded work
-    if "robots_docs" in world:
-        rules = build_rules_df_distributed(world["robots_docs"])
-    else:
-        rules = build_rules_df(spark, [])
-    with_robots = robots_allowed(build_candidates(recent), rules)
-    candidates = with_robots.filter(F.col("robots_allowed"))
-
-    # Deterministic within-cycle dedupe: the same URL listed by two
-    # sitemaps must enter the frontier ONCE (the links append relies on
-    # wave keys being unique), and the FIRST occurrence in selection order
-    # wins — matching the reference's launch-order contract (SURVEY §3).
-    from pyspark.sql import Window as _W
-
-    _first = _W.partitionBy("url_key").orderBy(
-        "site_seq", "depth", "path", "sitemap_pos"
-    )
-    candidates = (
-        candidates.withColumn("_rn", F.row_number().over(_first))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    if process_within_days is not None:
-        # run-once quirk (crawl_scheduler.py:367-372): discover 7 d,
-        # PROCESS only ≤ process_within_days. The reference checks ONLY
-        # ``lastmod`` ("if not lastmod or is_within_days(lastmod, 2)") —
-        # an entry with a NULL lastmod passes unconditionally even if its
-        # news_publication_date is old.
-        dd = F.datediff(
-            F.lit(batch_ts).cast("date"), F.to_date(F.col("lastmod"))
-        )
-        candidates = candidates.filter(
-            F.col("lastmod").isNull() | dd.between(0, process_within_days)
-        )
-    if fuse_discovery:
-        # single-wave drain mode (bench): keep discovery LAZY so canonical-
-        # ize/robots/recency fuse into the wave job — one pipeline, no
-        # materialization barrier. Wave ≥ 2 checkpoints on entry instead.
-        candidates_ckpt = False
-    else:
-        candidates = candidates.transform(materialize)
-        candidates_ckpt = True
-        report.entries_within_days = candidates.count()
-    if collect_metrics:
-        report.sitemap_entries_total = entries.count()
-        report.robots_denied = with_robots.filter(
-            ~F.col("robots_allowed")
-        ).count()
-
-    def _site_log_rows(df: DataFrame, crawl_type: str, ts) -> DataFrame:
-        """K3 per-site per-phase crawl-log rows (repository.py:473-498;
-        call sites crawl_scheduler.py:164-171,203-211): one row per site
-        per stage with urls_found / new_urls / status."""
-        return df.select(
-            F.lit(ts).alias("ts"),
-            "site_id",
-            F.lit(crawl_type).alias("crawl_type"),
-            F.lit("success").alias("status"),
-            F.lit(None).cast("int").alias("http_code"),
-            F.col("urls_found").cast("long"),
-            F.col("new_urls").cast("long"),
-            F.lit(None).cast("string").alias("error_message"),
-        )
-
-
-    seen, segments, bloom_m_bits, hs = fut_state.result()
-    _tr("state_init")
-
-    # In-cycle attempted set: the reference iterates its new-URL list ONCE
-    # per cycle (crawl_scheduler.py:232-241) — failures are not retried
-    # until re-discovered next cycle. Only VALID articles enter the seen
-    # store (save_article_link runs after validation, :288-311).
-    attempted = None  # lazy union of per-wave checkpointed url_key slices
-
-    from pyspark.sql import Observation
-
-    # the fold for wave k stays LAZY until wave k+1 actually needs it —
-    # for the final wave it computes on the async commit lane
-    hs_next: DataFrame | None = None  # lazy fold from the latest wave
-
-    _HS_LITERAL_CAP = 4096  # above this, broadcast-join the state instead
-
-    wave_key_slices: list[DataFrame] = []  # valid keys per wave (for bloom)
-    wave_site_slices: list[DataFrame] = []  # (site_id, is_valid) for K3 logs
     try:
+
+        # --- discovery: sitemap BFS + recency + candidate build -------------
+        # expand already localCheckpoints each BFS level; counts on the
+        # checkpointed levels are near-free.
+        entries = expand_sitemap_tree(seeds, world["sitemap_pages"])
+        _tr("expand")
+
+        recent = filter_recent(entries, sites, days=days, now=batch_ts)
+
+        # --- robots gate (broadcast join; zero frontier shuffles) ------------
+        # parse DISTRIBUTED (mapInPandas per executor batch): only the compact
+        # rules rows reach the driver-side broadcast, never the robots bodies —
+        # at 10^6-10^7 hosts the round-2 collect()-then-parse loop was GBs
+        # through the driver and minutes of single-threaded work
+        if "robots_docs" in world:
+            rules = build_rules_df_distributed(world["robots_docs"])
+        else:
+            rules = build_rules_df(spark, [])
+        with_robots = robots_allowed(build_candidates(recent), rules)
+        candidates = with_robots.filter(F.col("robots_allowed"))
+
+        # Deterministic within-cycle dedupe: the same URL listed by two
+        # sitemaps must enter the frontier ONCE (the links append relies on
+        # wave keys being unique), and the FIRST occurrence in selection order
+        # wins — matching the reference's launch-order contract (SURVEY §3).
+        from pyspark.sql import Window as _W
+
+        _first = _W.partitionBy("url_key").orderBy(
+            "site_seq", "depth", "path", "sitemap_pos"
+        )
+        candidates = (
+            candidates.withColumn("_rn", F.row_number().over(_first))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if process_within_days is not None:
+            # run-once quirk (crawl_scheduler.py:367-372): discover 7 d,
+            # PROCESS only ≤ process_within_days. The reference checks ONLY
+            # ``lastmod`` ("if not lastmod or is_within_days(lastmod, 2)") —
+            # an entry with a NULL lastmod passes unconditionally even if its
+            # news_publication_date is old.
+            dd = F.datediff(
+                F.lit(batch_ts).cast("date"), F.to_date(F.col("lastmod"))
+            )
+            candidates = candidates.filter(
+                F.col("lastmod").isNull() | dd.between(0, process_within_days)
+            )
+        if fuse_discovery:
+            # single-wave drain mode (bench): keep discovery LAZY so canonical-
+            # ize/robots/recency fuse into the wave job — one pipeline, no
+            # materialization barrier. Wave ≥ 2 checkpoints on entry instead.
+            candidates_ckpt = False
+        else:
+            candidates = candidates.transform(materialize)
+            candidates_ckpt = True
+            report.entries_within_days = candidates.count()
+        if collect_metrics:
+            report.sitemap_entries_total = entries.count()
+            report.robots_denied = with_robots.filter(
+                ~F.col("robots_allowed")
+            ).count()
+
+        def _site_log_rows(df: DataFrame, crawl_type: str, ts) -> DataFrame:
+            """K3 per-site per-phase crawl-log rows (repository.py:473-498;
+            call sites crawl_scheduler.py:164-171,203-211): one row per site
+            per stage with urls_found / new_urls / status."""
+            return df.select(
+                F.lit(ts).alias("ts"),
+                "site_id",
+                F.lit(crawl_type).alias("crawl_type"),
+                F.lit("success").alias("status"),
+                F.lit(None).cast("int").alias("http_code"),
+                F.col("urls_found").cast("long"),
+                F.col("new_urls").cast("long"),
+                F.lit(None).cast("string").alias("error_message"),
+            )
+
+
+        seen, segments, bloom_m_bits, hs, seen_count = fut_state.result()
+        _tr("state_init")
+
+        # In-cycle attempted set: the reference iterates its new-URL list ONCE
+        # per cycle (crawl_scheduler.py:232-241) — failures are not retried
+        # until re-discovered next cycle. Only VALID articles enter the seen
+        # store (save_article_link runs after validation, :288-311).
+        attempted = None  # lazy union of per-wave checkpointed url_key slices
+
+        from pyspark.sql import Observation
+
+        # the fold for wave k stays LAZY until wave k+1 actually needs it —
+        # for the final wave it computes on the async commit lane
+        hs_next: DataFrame | None = None  # lazy fold from the latest wave
+
+        _HS_LITERAL_CAP = 4096  # above this, broadcast-join the state instead
+
+        wave_key_slices: list[DataFrame] = []  # valid keys per wave (for bloom)
+        wave_site_slices: list[DataFrame] = []  # (site_id, is_valid) for K3 logs
         wave = 0
         while wave < max_waves:
             wave += 1
@@ -545,6 +550,7 @@ def _run_cycle_inner(
             unseen = dedup_unseen(
                 candidates, seen.select("url_key"), segments=segments,
                 n_segments=bloom_segments, probe=bloom_probe,
+                seen_count=seen_count,
             )
             if attempted is not None:
                 unseen = unseen.join(attempted, on="url_key", how="left_anti")
@@ -774,10 +780,27 @@ def _run_cycle_inner(
                 F.col("last_crawl_at")
             ),
         )
+        # FAILURE ATOMICITY: the watermark rides the LINKS lane, so it
+        # commits only after every queued links append (and the bloom
+        # commit chained behind them) succeeded. If an append fails, the
+        # lane-chained prev.result() poisons this future too, and on-disk
+        # state never says "crawled at batch_ts" while link rows are
+        # missing — the old independent lane could commit the watermark
+        # first and only surface the append error at the drain.
         _async(store.table("sites").overwrite, sites_updated,
-               summary={"op": "watermark"}, small=True, _lane="sites")
+               summary={"op": "watermark"}, small=True, _lane="links")
         _tr("bookkeeping")
     finally:
+        # join the detached init thread FIRST: on the discovery-error path
+        # _init_state may still be running and about to submit its bloom
+        # rebuild to the pool — shutting the pool down under it would turn
+        # the cycle error into an unrelated RuntimeError and could leave
+        # the thread running Spark jobs after the cycle raised. Its own
+        # error (if any) is secondary to whatever is propagating.
+        try:
+            fut_state.result()
+        except Exception:
+            pass
         # join the async commit lane: a cycle only RETURNS once all its
         # state commits are durable (same end state as the serial version)
         pool.shutdown(wait=True)

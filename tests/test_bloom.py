@@ -93,3 +93,29 @@ def test_distributed_probe_negative_passthrough(spark):
     }
     assert flagged[8] and flagged[16]          # members always hit
     assert not flagged[3] and not flagged[11] and not flagged[5]
+
+
+def test_broadcast_gate_falls_back_to_shuffle_above_cap(spark):
+    """ADVICE r3: probe='broadcast' must stop force-broadcasting the whole
+    seen key set once it outgrows the cap — the anti-join then shuffles
+    only the maybe-seen slice. Same exact result either way."""
+    rng = np.random.default_rng(11)
+    seen_keys = set(rng.integers(0, 10**12, size=2000).tolist())
+    frontier_keys = set(rng.integers(0, 10**12, size=2000).tolist())
+    frontier_keys.update(list(seen_keys)[:300])
+    seen = _keys_df(spark, sorted(seen_keys))
+    frontier = _keys_df(spark, sorted(frontier_keys))
+    expected = sorted(frontier_keys - seen_keys)
+    segments = build_bloom_segments(seen, n_segments=8)
+
+    def _plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    small = dedup_unseen(frontier, seen, segments=segments, n_segments=8,
+                         seen_count=len(seen_keys))
+    assert "broadcast" in _plan(small).lower()  # under the cap: hint kept
+    big = dedup_unseen(frontier, seen, segments=segments, n_segments=8,
+                       seen_count=len(seen_keys), broadcast_seen_cap=100)
+    assert "broadcast" not in _plan(big).lower()  # over the cap: no hint
+    assert sorted(r["url_key"] for r in big.collect()) == expected
+    assert sorted(r["url_key"] for r in small.collect()) == expected

@@ -144,3 +144,21 @@ def test_results_keep_input_order():
     rows = _rows("a.com", 5) + _rows("b.com", 5)
     out = run_fetch_batch(rows, lambda: session, clock=FakeClock())
     assert [r["url"] for r in out] == [r["url"] for r in rows]
+
+
+def test_stalled_body_read_times_out():
+    """ADVICE r3: a server that ACCEPTS the connection but stalls the body
+    must not hold the pool's semaphores forever — the single wait_for now
+    covers get()+read(), so the row resolves to code 0 within timeout_s."""
+
+    class StallResp:
+        status = 200
+
+        async def read(self):
+            await asyncio.sleep(30)  # never finishes within the timeout
+
+    session = FakeSession(responses={"https://h.com/p0": StallResp()})
+    out = run_fetch_batch(
+        _rows("h.com", 1), lambda: session, timeout_s=0.05
+    )
+    assert out[0]["http_code"] == 0 and out[0]["body"] is None
