@@ -77,21 +77,54 @@ def q01_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q02_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: politeness-deadline scheduling — per-host priority window, cap
-    3 slots/host, deadline offset (slot-1)/refill_rate."""
+    """T1: the PRODUCTION politeness scheduler —
+    ``ratelimit.assign_deadlines`` (capped exact two-phase top-k path),
+    NOT an inline re-implementation. The literal host-state fixture
+    exercises every arithmetic branch: a non-default refill rate (site0,
+    0.25 tok/s), a last-fetch base offset (site1, fetched 1 s before the
+    batch), a 429 cooldown (site2, rate_limit_until batch+30 s), and a
+    robots Crawl-delay that outranks the token interval (site3, 5 s).
+    Jitter is 0 and slot order is the per-host priority row_number, so
+    slot and deadline = base + (slot-1)*max(1/rate, crawl_delay) are
+    fully deterministic and replayed exactly by the DuckDB oracle."""
+    from datetime import datetime
+
+    from spark_frontier.politeness.ratelimit import assign_deadlines
+
+    batch_ts = datetime(2024, 1, 1, 0, 0, 0)
     ev = _event_url(_t(spark, sf_dir, "events")).filter(
         F.col("event_type") != "error"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("host").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("host_slot", F.row_number().over(w))
-        .filter(F.col("host_slot") <= 3)
+    cand = (
+        ev.withColumn("site_seq", (F.col("user_id") % 8).cast("int"))
+        .withColumn("depth", F.lit(0))
+        .withColumn("path", F.lit(""))
+        .withColumn("sitemap_pos", F.col("event_id"))
         .withColumn(
-            "deadline_s", ((F.col("host_slot") - 1) * F.lit(2.0)).cast("double")
+            "crawl_delay",
+            F.when(F.col("host") == "site3.example.com", F.lit(5.0)),
         )
-        .select("event_id", "host", "host_slot", "deadline_s")
+    )
+    host_state = [
+        {"host": "site0.example.com", "refill_rate": 0.25,
+         "rate_limit_until": None, "last_fetch_ts": None},
+        {"host": "site1.example.com", "refill_rate": None,
+         "rate_limit_until": None,
+         "last_fetch_ts": datetime(2023, 12, 31, 23, 59, 59)},
+        {"host": "site2.example.com", "refill_rate": None,
+         "rate_limit_until": datetime(2024, 1, 1, 0, 0, 30),
+         "last_fetch_ts": None},
+    ]
+    out = assign_deadlines(cand, host_state, batch_ts, max_per_host=3)
+    return out.select(
+        "event_id",
+        "host",
+        "host_slot",
+        F.round(
+            (F.unix_micros(F.col("politeness_deadline"))
+             - F.unix_micros(F.lit(batch_ts))) / F.lit(1_000_000.0),
+            6,
+        ).alias("deadline_s"),
     )
 
 
@@ -633,16 +666,40 @@ def oracle_sql() -> dict[str, str]:
                 WHERE s.event_id % 3 = 0 AND s.event_id = e.event_id)
         """,
         "q02_frontier_schedule": f"""
+            -- replays ratelimit.assign_deadlines exactly (jitter 0):
+            --   slot     = priority row_number per host (pos = event_id)
+            --   interval = max(1/coalesce(rate, 0.5), crawl_delay)
+            --   base_s   = max(0, rate_limit_until, last_fetch + interval)
+            --   deadline = base_s + (slot-1) * interval
             WITH c AS (
-                SELECT event_id, {_EVENT_HOST_SQL} AS host, ts
+                SELECT event_id, {_EVENT_HOST_SQL} AS host
                 FROM events WHERE event_type <> 'error'),
+            hs AS (
+                SELECT * FROM (VALUES
+                    ('site0.example.com', CAST(0.25 AS DOUBLE),
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+                    ('site1.example.com', NULL, NULL, -1.0),
+                    ('site2.example.com', NULL, 30.0, NULL)
+                ) AS t(host, refill_rate, rl_until_s, last_fetch_off_s)),
             r AS (
-                SELECT event_id, host,
-                       ROW_NUMBER() OVER (PARTITION BY host
-                                          ORDER BY ts, event_id) AS host_slot
-                FROM c)
+                SELECT c.event_id, c.host,
+                       ROW_NUMBER() OVER (PARTITION BY c.host
+                                          ORDER BY c.event_id) AS host_slot,
+                       GREATEST(
+                           1.0 / COALESCE(h.refill_rate, 0.5),
+                           CASE WHEN c.host = 'site3.example.com'
+                                THEN 5.0 ELSE 0.0 END) AS interval_s,
+                       GREATEST(
+                           0.0,
+                           COALESCE(h.rl_until_s, 0.0),
+                           COALESCE(h.last_fetch_off_s + GREATEST(
+                               1.0 / COALESCE(h.refill_rate, 0.5),
+                               CASE WHEN c.host = 'site3.example.com'
+                                    THEN 5.0 ELSE 0.0 END), 0.0)) AS base_s
+                FROM c LEFT JOIN hs h USING (host))
             SELECT event_id, host, CAST(host_slot AS INT) AS host_slot,
-                   (host_slot - 1) * 2.0 AS deadline_s
+                   ROUND(base_s + (host_slot - 1) * interval_s, 6)
+                       AS deadline_s
             FROM r WHERE host_slot <= 3
         """,
         "q03_recency_filter": """

@@ -129,6 +129,7 @@ def live_fetch(
     per_host_limit: int = 10,
     total_limit: int = 50,
     timeout_s: float = 15.0,
+    session_factory=None,
 ) -> DataFrame:
     """LIVE network fetch: aiohttp pool inside ``mapInPandas``.
 
@@ -138,28 +139,39 @@ def live_fetch(
     honored in wall clock. The pool body itself (``livepool.run_fetch_batch``)
     is pure asyncio and unit-tested with a mocked session; this wrapper
     only adds the Spark plumbing, so a deployment with aiohttp installed
-    runs as-is. Raises if aiohttp is unavailable (this sandbox).
+    runs as-is.
+
+    ``session_factory``: async-context-manager factory for the HTTP
+    session, executed ON THE WORKERS. Default builds an
+    aiohttp.ClientSession (raises if aiohttp is unavailable — this
+    sandbox); tests inject a locally-defined fake (pickled by value into
+    the workers) so the whole mapInPandas path — itertuples marshaling,
+    deadline tz handling, output schema — executes without the network.
 
     Output: url, host, politeness_deadline passthrough + (http_code int,
     body binary, fetched_at double).
     """
-    try:
-        import aiohttp
-    except ImportError as e:  # pragma: no cover - sandbox has no aiohttp
-        raise NotImplementedError(
-            "live fetch requires aiohttp; this environment is hermetic-only"
-        ) from e
+    if session_factory is None:
+        try:
+            import aiohttp
+        except ImportError as e:  # pragma: no cover - sandbox has no aiohttp
+            raise NotImplementedError(
+                "live fetch requires aiohttp; this environment is "
+                "hermetic-only"
+            ) from e
+
+        def session_factory():  # pragma: no cover - needs network
+            return aiohttp.ClientSession(
+                connector=aiohttp.TCPConnector(
+                    limit=total_limit, limit_per_host=per_host_limit
+                )
+            )
 
     import pandas as pd
 
     from spark_frontier.fetch.livepool import run_fetch_batch
 
-    def _session_factory():  # pragma: no cover - needs network
-        return aiohttp.ClientSession(
-            connector=aiohttp.TCPConnector(
-                limit=total_limit, limit_per_host=per_host_limit
-            )
-        )
+    _session_factory = session_factory
 
     out_schema = (
         "url string, host string, politeness_deadline timestamp, "

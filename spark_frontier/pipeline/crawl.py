@@ -412,7 +412,8 @@ def _run_cycle_inner(
                         bloom_tbl.overwrite, segments,
                         summary={"op": "bloom_build",
                                  "covers_links": links_snapshot,
-                                 "n_segments": bloom_segments},
+                                 "n_segments": bloom_segments,
+                                 "m_bits": uniform_bits},
                         small=True, _lane="links",
                     )
                     bloom_m_bits = uniform_bits  # known by construction
@@ -449,9 +450,18 @@ def _run_cycle_inner(
         # through the driver and minutes of single-threaded work
         if "robots_docs" in world:
             rules = build_rules_df_distributed(world["robots_docs"])
+            # host count gates the rules broadcast (robots.py): a parquet
+            # metadata count, memoized on the world dict across cycles
+            n_robots_hosts = world.get("_robots_n_hosts")
+            if n_robots_hosts is None:
+                n_robots_hosts = world["robots_docs"].count()
+                world["_robots_n_hosts"] = n_robots_hosts
         else:
             rules = build_rules_df(spark, [])
-        with_robots = robots_allowed(build_candidates(recent), rules)
+            n_robots_hosts = 0
+        with_robots = robots_allowed(
+            build_candidates(recent), rules, n_hosts=n_robots_hosts
+        )
         candidates = with_robots.filter(F.col("robots_allowed"))
 
         # Deterministic within-cycle dedupe: the same URL listed by two
@@ -699,6 +709,7 @@ def _run_cycle_inner(
                 bloom_tbl.overwrite(
                     fut_bloom.result(),
                     summary={"op": "bloom_delta", "n_segments": bloom_segments,
+                             "m_bits": mb,
                              "covers_links": links_tbl.snapshot_id},
                     small=True,
                 )

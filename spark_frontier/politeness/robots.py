@@ -130,14 +130,36 @@ def build_rules_df_distributed(robots_docs: DataFrame) -> DataFrame:
     )
 
 
-def robots_allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+# Above this many distinct robots hosts the collapsed per-host rules table
+# (array-of-structs row per host) can reach GBs; force-broadcasting it to
+# every executor per cycle becomes the scale cliff. Hosts is the gate proxy
+# because callers know it for free (one metadata count on the docs table)
+# while the rules row count would need an extra pass over the parse.
+BROADCAST_MAX_HOSTS = 250_000
+
+
+def robots_allowed(
+    frontier: DataFrame,
+    rules: DataFrame,
+    n_hosts: int | None = None,
+    broadcast_max_hosts: int = BROADCAST_MAX_HOSTS,
+) -> DataFrame:
     """Annotate frontier with ``robots_allowed`` and ``crawl_delay``.
 
-    ZERO frontier shuffles: rules collapse to one array-of-structs row per
-    host (ordered by rule_pos), broadcast-joined onto the frontier; the
-    first-match verdict is a JVM higher-order ``filter(...)[0]`` over the
-    ordered array — urllib.robotparser's first-matching-rule-in-file-order
-    semantics, whole-stage-codegen'd, no Python.
+    Rules collapse to one array-of-structs row per host (ordered by
+    rule_pos) and join onto the frontier; the first-match verdict is a JVM
+    higher-order ``filter(...)[0]`` over the ordered array —
+    urllib.robotparser's first-matching-rule-in-file-order semantics,
+    whole-stage-codegen'd, no Python.
+
+    SIZE-GATED broadcast (north_rule's "broadcast join" is the gated
+    default): with ``n_hosts`` at or under ``broadcast_max_hosts`` the
+    collapsed table broadcasts — zero frontier shuffles. Above it (the
+    10^6-10^7-host design point) the join runs as a plain shuffle join on
+    ``host``: the frontier is host-keyed for politeness anyway, so the
+    extra exchange is cheap, while shipping a multi-GB rules table to
+    every executor is not. ``n_hosts=None`` (size unknown) keeps the
+    broadcast for backward compatibility with small-world callers.
     """
     host_rules = rules.groupBy("host").agg(
         F.sort_array(
@@ -145,6 +167,8 @@ def robots_allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         ).alias("_rules"),
         F.max("crawl_delay").alias("crawl_delay"),
     )
+    if n_hosts is None or n_hosts <= broadcast_max_hosts:
+        host_rules = F.broadcast(host_rules)
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     first_match = F.get(  # null-safe: no matching rule → NULL → allow
         F.filter(
@@ -154,7 +178,7 @@ def robots_allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         0,
     )
     return (
-        frontier.join(F.broadcast(host_rules), on="host", how="left")
+        frontier.join(host_rules, on="host", how="left")
         .withColumn(
             "robots_allowed",
             F.coalesce(first_match["allow"], F.lit(True)),

@@ -228,3 +228,45 @@ def test_distributed_robots_parse_matches_driver(spark):
     a = sorted(map(tuple, local.collect()))
     b = sorted(map(tuple, dist.collect()))
     assert a == b and len(a) > 0
+
+
+def test_robots_broadcast_gate_shuffle_path_on_many_hosts(spark):
+    """VERDICT r3 #3: above the host cap the rules join must NOT broadcast
+    (a 10^6-host rules table is GBs) — plain shuffle join on host, same
+    verdicts. Synthetic 10^5-host rules table, JVM-generated."""
+    from pyspark.sql import functions as F
+
+    n_hosts = 100_000
+    rules = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".com"))
+        .alias("host"),
+        F.lit(0).alias("rule_pos"),
+        F.lit("/private").alias("pattern"),
+        F.lit(False).alias("allow"),
+        F.lit(None).cast("double").alias("crawl_delay"),
+    )
+    frontier = spark.range(500).select(
+        F.concat(F.lit("h"), (F.col("id") * 211).cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") * 211).cast("string"),
+            F.lit(".com"),
+            F.when(F.col("id") % 2 == 0, F.lit("/private/x"))
+            .otherwise(F.lit("/public/x")),
+        ).alias("url"),
+        F.col("id"),
+    )
+
+    def _plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    bcast = robots_allowed(frontier, rules, n_hosts=n_hosts)
+    assert "broadcast" in _plan(bcast)  # None/small → broadcast default
+    shuf = robots_allowed(frontier, rules, n_hosts=n_hosts,
+                          broadcast_max_hosts=1000)
+    assert "broadcast" not in _plan(shuf)
+
+    got_b = {r["id"]: r["robots_allowed"] for r in bcast.collect()}
+    got_s = {r["id"]: r["robots_allowed"] for r in shuf.collect()}
+    assert got_b == got_s
+    assert got_s[0] is False and got_s[1] is True  # /private blocked

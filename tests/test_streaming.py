@@ -298,3 +298,117 @@ def test_stateful_backoff_matches_batch_fold(spark, tmp_path_factory):
         assert abs(g["refill_rate"] - e["refill_rate"]) < 1e-9, host
         assert g["rate_limit_until"] == e["rate_limit_until"], host
         assert g["last_fetch_ts"] == e["last_fetch_ts"], host
+
+
+def test_stateful_backoff_integrated_topology(spark, world_dir,
+                                              tmp_path_factory):
+    """VERDICT r3 #4: the applyInPandasWithState operator now CARRIES the
+    host state in the real streaming crawl. Parity oracle: fold the
+    per-micro-batch results the integration landed (results_dir, batch
+    order) through the batch operator — Spark-managed state must equal
+    that iterated fold exactly."""
+    import glob
+    import re
+
+    from spark_frontier.politeness.backoff import (
+        empty_host_state,
+        update_host_state,
+    )
+
+    world = load_world(spark, world_dir)
+    cand_dir = _cand_stream_dir(spark, world, tmp_path_factory, "st_cand")
+    store = SnapStore(str(tmp_path_factory.mktemp("st_store")))
+    seed_seen_store(store, world["url_seen"])
+    ckpt = str(tmp_path_factory.mktemp("st_ckpt"))
+    q = start_stream_crawl(
+        spark, cand_dir, world, store, ckpt, batch_ts=NOW,
+        max_per_host=10_000, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    # oracle: iterate the batch fold over the landed per-batch results
+    results_dir = ckpt.rstrip("/") + "_results"
+    batch_dirs = sorted(
+        (d for d in glob.glob(results_dir + "/batch_*")
+         if re.search(r"batch_\d+$", d)),
+        key=lambda d: int(d.rsplit("_", 1)[1]),
+    )
+    assert batch_dirs, "integration landed no per-batch results"
+    hs = empty_host_state(spark)
+    for d in batch_dirs:
+        hs = update_host_state(hs, spark.read.parquet(d), NOW)
+    expected = {r["host"]: r for r in hs.collect()}
+
+    got = {
+        r["host"]: r
+        for r in store.table("host_state").read(spark).collect()
+    }
+    assert set(got) == set(expected)
+    for host, e in expected.items():
+        g = got[host]
+        assert g["consecutive_failures"] == e["consecutive_failures"], host
+        assert g["is_blocked"] == e["is_blocked"], host
+        assert list(g["recent_codes"] or []) == list(e["recent_codes"] or []), host
+        assert abs(g["refill_rate"] - e["refill_rate"]) < 1e-9, host
+        assert g["rate_limit_until"] == e["rate_limit_until"], host
+        assert g["last_fetch_ts"] == e["last_fetch_ts"], host
+
+
+def test_stream_stale_bloom_nonblocking_single_scan(spark, world_dir,
+                                                    tmp_path_factory,
+                                                    monkeypatch):
+    """VERDICT r3 #5: a stale/absent bloom must not stall the micro-batch
+    — links commit FIRST, the rebuild reads the links table exactly ONCE
+    (beyond the batch's own seen read), and provenance self-heals to the
+    final links head."""
+    import threading
+    import time as _time
+
+    from spark_frontier.storage.snapstore import SnapTable
+
+    world = load_world(spark, world_dir)
+    cand_dir = _cand_stream_dir(spark, world, tmp_path_factory, "bl_cand",
+                                nfiles=2)
+    store = SnapStore(str(tmp_path_factory.mktemp("bl_store")))
+    seed_seen_store(store, world["url_seen"])  # links exist, NO bloom
+
+    events = []
+    lock = threading.Lock()
+    real_read = SnapTable.read
+    real_append = SnapTable.append
+    real_overwrite = SnapTable.overwrite
+
+    def _rec(kind):
+        def _w(self, *a, **kw):
+            with lock:
+                events.append((kind, self.name, _time.monotonic()))
+            return {"read": real_read, "append": real_append,
+                    "overwrite": real_overwrite}[kind](self, *a, **kw)
+        return _w
+
+    monkeypatch.setattr(SnapTable, "read", _rec("read"))
+    monkeypatch.setattr(SnapTable, "append", _rec("append"))
+    monkeypatch.setattr(SnapTable, "overwrite", _rec("overwrite"))
+
+    q = start_stream_crawl(
+        spark, cand_dir, world, store,
+        str(tmp_path_factory.mktemp("bl_ckpt")), batch_ts=NOW,
+        max_per_host=10_000, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    links_appends = [e for e in events if e[0] == "append" and e[1] == "links"]
+    bloom_commits = [e for e in events if e[0] == "overwrite" and e[1] == "bloom"]
+    links_reads = [e for e in events if e[0] == "read" and e[1] == "links"]
+    n_batches = len(links_appends)
+    assert n_batches >= 1 and bloom_commits
+    # ordering: the FIRST links append precedes the first bloom commit
+    assert links_appends[0][2] < bloom_commits[0][2]
+    # scan budget: each batch reads links once for its seen set; each
+    # REBUILD reads it exactly once more — never the old read-twice
+    # (count + re-read) shape. Rebuilds ≤ batches, so:
+    assert len(links_reads) <= 2 * n_batches
+    # provenance self-heals to the final links head, with m_bits recorded
+    meta = store.table("bloom").summary()
+    assert meta.get("covers_links") == store.table("links").snapshot_id
+    assert meta.get("m_bits") and meta.get("n_segments")
