@@ -552,10 +552,12 @@ def q26_backoff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic k-means posting lists (seed 42, 5 Lloyd
-    iters), probe the 4 nearest lists, exact cosine top-k on the slice —
-    the partition-pruned scale path next to q23's LSH variant. Iterative
-    (k-means) → not SQL-expressible → rows-only."""
+    """IVF ANN: deterministic k-means posting lists (md5-order init, 3
+    Lloyd iters), probe the 3 nearest lists, exact cosine top-k on the
+    slice — the partition-pruned scale path next to q23's LSH variant.
+    Oracle: the iteration count is small and the init is md5-order (both
+    engines compute md5 identically), so the DuckDB twin UNROLLS the 3
+    Lloyd iterations as chained CTEs (_q29_oracle)."""
     from spark_frontier.analytics.similarity import (
         ivf_assignments,
         ivf_topk,
@@ -910,8 +912,9 @@ def oracle_sql() -> dict[str, str]:
         "q21_minhash_lsh": _q21_oracle(),
         "q22_simhash": _q22_oracle(),
         "q23_ann_lsh": _q23_oracle(),
-        # q24 (binary image payloads) and q29 (iterative k-means IVF):
-        # rows-only — decode / Lloyd iterations aren't SQL-expressible
+        "q29_ann_ivf": _q29_oracle(),
+        # q24 (binary image payloads): rows-only — image decode is not
+        # SQL-expressible
     }
 
 
@@ -1089,6 +1092,78 @@ def _q23_oracle() -> str:
         FROM embeddings e JOIN cand USING (vec_id), q
         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
                  e.vec_id
+        LIMIT 10
+    """
+
+
+def _q29_oracle() -> str:
+    """DuckDB twin of q29: replays kmeans_fit + ivf_topk exactly. The
+    md5-hex init order is computable in both engines; each Lloyd
+    iteration unrolls as an assignment CTE (argmin euclidean d2, ties to
+    the lowest centroid id) and an update CTE (per-dim mean, empty
+    clusters carry the previous centroid); the probe ranks the final
+    centroids by d2 to the query and scans the 3 nearest posting lists;
+    cosine top-k as in q23/q15."""
+
+    def assign(prev: str) -> str:
+        return f"""
+          SELECT vec_id, embedding, centroid FROM (
+            SELECT e.vec_id, e.embedding, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_sum(list_transform(
+                                list_zip(e.embedding, c.vec),
+                                x -> (x[1] - x[2])^2)),
+                              c.centroid) AS rk
+            FROM corpus e CROSS JOIN {prev} c) WHERE rk = 1"""
+
+    def update(a: str, prev: str) -> str:
+        return f"""
+          SELECT p.centroid, COALESCE(u.vec, p.vec) AS vec
+          FROM {prev} p LEFT JOIN (
+            SELECT centroid, list(s / n ORDER BY dim) AS vec FROM (
+              SELECT centroid, t.i AS dim, SUM(embedding[t.i]) AS s,
+                     COUNT(*) AS n
+              FROM {a}, range(1, 65) t(i)
+              GROUP BY centroid, t.i)
+            GROUP BY centroid) u USING (centroid)"""
+
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS embedding
+            FROM embeddings WHERE vec_id <> 0),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                       AS centroid,
+                   embedding AS vec
+            FROM corpus
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        a1 AS ({assign('c0')}),
+        c1 AS ({update('a1', 'c0')}),
+        a2 AS ({assign('c1')}),
+        c2 AS ({update('a2', 'c1')}),
+        a3 AS ({assign('c2')}),
+        c3 AS ({update('a3', 'c2')}),
+        a4 AS ({assign('c3')}),
+        probe AS (
+            SELECT centroid FROM (
+                SELECT c.centroid,
+                       ROW_NUMBER() OVER (
+                         ORDER BY list_sum(list_transform(
+                                    list_zip(c.vec, q.qv),
+                                    x -> (x[1] - x[2])^2)),
+                                  c.centroid) AS rk
+                FROM c3 c, q) WHERE rk <= 3),
+        cand AS (SELECT vec_id FROM a4
+                 WHERE centroid IN (SELECT centroid FROM probe))
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding, q.qv), 4) AS cosine
+        FROM corpus e JOIN cand USING (vec_id), q
+        ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
         LIMIT 10
     """
 

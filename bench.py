@@ -94,7 +94,101 @@ def _one_cycle(spark, world, cores: int, fuse: bool = False):
         # fused at 2-8 pinned cores and ~1.5× faster at 32 (round 3)
         fuse_discovery=fuse,
     )
-    return time.time() - t0, report, store_dir
+    t1 = time.time()
+    return t1 - t0, report, store_dir, (t0, t1)
+
+
+def _eventlog_metrics(log_dir: str, window, cores: int) -> dict | None:
+    """Per-cycle work accounting from the Spark event log, so the
+    efficiency numbers are auditable from the bench JSON alone (the
+    event log is the only reliable attribution on this host — wall-clock
+    deltas under ~10% are noise):
+
+    - ``stage_busy_frac``: Σ task (Finish−Launch) clipped to the cycle
+      window / (cores × window) — how much of the leg's CPU budget ran
+      tasks.
+    - ``driver_gap_s``: window time covered by NO running job — pure
+      driver/scheduler latency between jobs.
+    - ``commit_tail_s``: window time after the last non-"commits"-pool
+      job completed — the async commit-lane drain the cycle could not
+      hide behind compute.
+    """
+    import glob
+    import json as _json
+
+    # Spark 4 defaults to the rolling layout: <dir>/eventlog_v2_<app>/
+    # events_<n>_<app>; single-file layout is <dir>/<app>
+    paths = sorted(glob.glob(os.path.join(log_dir, "*", "events_*")))
+    if not paths:
+        paths = [p for p in glob.glob(os.path.join(log_dir, "*"))
+                 if os.path.isfile(p)]
+    if not paths:
+        return None
+    w0, w1 = window[0] * 1000.0, window[1] * 1000.0
+    if w1 <= w0:
+        return None
+    busy = 0.0
+    job_sub: dict[int, float] = {}
+    job_pool: dict[int, str | None] = {}
+    jobs: list[tuple[float, float, str | None]] = []
+
+    def _lines():
+        for p in paths:
+            with open(p) as f:
+                yield from f
+
+    for line in _lines():
+        if '"SparkListenerTaskEnd"' in line:
+            try:
+                ev = _json.loads(line)
+            except ValueError:
+                continue
+            ti = ev.get("Task Info") or {}
+            lt, ft = ti.get("Launch Time"), ti.get("Finish Time")
+            if lt and ft:
+                busy += max(0.0, min(ft, w1) - max(lt, w0))
+        elif '"SparkListenerJobStart"' in line:
+            try:
+                ev = _json.loads(line)
+            except ValueError:
+                continue
+            jid = ev.get("Job ID")
+            job_sub[jid] = ev.get("Submission Time")
+            job_pool[jid] = (ev.get("Properties") or {}).get(
+                "spark.scheduler.pool"
+            )
+        elif '"SparkListenerJobEnd"' in line:
+            try:
+                ev = _json.loads(line)
+            except ValueError:
+                continue
+            jid = ev.get("Job ID")
+            comp = ev.get("Completion Time")
+            if jid in job_sub and comp:
+                jobs.append((job_sub[jid], comp, job_pool.get(jid)))
+    ivs = sorted(
+        (max(s, w0), min(c, w1)) for s, c, _ in jobs if c > w0 and s < w1
+    )
+    covered, cur_s, cur_e = 0.0, None, None
+    for s, e in ivs:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        covered += cur_e - cur_s
+    main_end = max(
+        (min(c, w1) for s, c, p in jobs
+         if p != "commits" and c > w0 and s < w1),
+        default=w0,
+    )
+    return {
+        "stage_busy_frac": round(busy / (cores * (w1 - w0)), 3),
+        "driver_gap_s": round(((w1 - w0) - covered) / 1000.0, 3),
+        "commit_tail_s": round(max(0.0, w1 - main_end) / 1000.0, 3),
+    }
 
 
 def run_frontier_bench(cores: int, timed_cycles: int = 2,
@@ -118,7 +212,10 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
     from spark_frontier.pipeline.crawl import load_world
     from spark_frontier.session import get_spark, stop_spark
 
+    import tempfile
+
     stop_spark()
+    eventlog_dir = tempfile.mkdtemp(prefix=f"bench_evlog_{cores}_")
     spark = get_spark(
         f"frontier-bench-{cores}", cores=cores,
         shuffle_partitions=max(cores, 8),
@@ -128,6 +225,11 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
             # them to ~1m so scan+shuffle-write stages use every core
             # (they stop at 64k-row-group boundaries)
             "spark.sql.files.maxPartitionBytes": "1m",
+            # work accounting for the reported legs (audit trail in the
+            # bench JSON; see _eventlog_metrics)
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": "file://" + eventlog_dir,
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -136,21 +238,24 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
         # warmup = the SAME cycle on a fresh store: C2 needs real iteration
         # counts on the hot loops, which a toy world doesn't provide
         world = load_world(spark, ensure_bench_world())
-        _, _, d0 = _one_cycle(spark, world, cores, fuse=fuse)
+        _, _, d0, _ = _one_cycle(spark, world, cores, fuse=fuse)
         dirs.append(d0)
 
         # min wall over timed cycles: this host shows ±30% background
         # noise between runs minutes apart; min is the least-contaminated
         # sample of the engine's actual cost
         walls = []
+        windows = []
         report = None
         for _ in range(timed_cycles):
-            wall, report, d = _one_cycle(spark, world, cores, fuse=fuse)
+            wall, report, d, win = _one_cycle(spark, world, cores, fuse=fuse)
             dirs.append(d)
             walls.append(wall)
+            windows.append(win)
         wall = min(walls)
+        min_window = windows[walls.index(wall)]
         processed = report.scheduled  # fetched+deduped frontier URLs
-        return {
+        result = {
             "cores": cores,
             "wall_s": round(wall, 3),
             "walls_all_s": [round(x, 3) for x in walls],
@@ -162,7 +267,16 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
-        stop_spark()
+        stop_spark()  # flushes + closes the event log
+    try:
+        ev = _eventlog_metrics(eventlog_dir, min_window, cores)
+    except Exception:
+        ev = None
+    finally:
+        shutil.rmtree(eventlog_dir, ignore_errors=True)
+    if ev is not None:
+        result["eventlog"] = ev
+    return result
 
 
 def run_query_bench() -> dict:

@@ -145,8 +145,12 @@ def kmeans_fit(
     vectorized pandas UDF over broadcast centroids; the centroid update is
     a posexplode → groupBy(centroid, dim) avg (one shuffle of n·d scalar
     rows, map-side combined); only the (n_centroids × d) centroid matrix
-    ever reaches the driver. Init = seeded sample of the corpus (fixed
-    seed → bit-stable across runs). Returns the centroid ndarray."""
+    ever reaches the driver. Init = deterministic hash-order sample of
+    the corpus: the n_centroids rows with the smallest md5(id) hex digest
+    (md5, not xxhash64, so a SQL oracle — DuckDB has md5 but not
+    xxhash64 — can replay the init and unroll the Lloyd iterations; see
+    __spark_entry__._q29_oracle). Bit-stable across runs. Returns the
+    centroid ndarray."""
     # pandas imported at module level
     from pyspark.sql import functions as F2
     from pyspark.sql.functions import pandas_udf
@@ -156,10 +160,13 @@ def kmeans_fit(
     if first is None:
         raise ValueError("empty corpus")
     dim = len(first[vec_col])
-    # deterministic init: order by xxhash64(id, seed), take n_centroids
+    # deterministic, SQL-replayable init: md5-hex order, id tie-break
     init_rows = (
         embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")),
+            F.col(id_col),
+        )
         .limit(n_centroids)
         .collect()
     )
