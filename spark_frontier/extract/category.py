@@ -272,6 +272,31 @@ def content_score_columns(text_col: str = "_cs_txt") -> dict[str, Column]:
     return scores
 
 
+# Session-scoped cache for the built Column fragments: the chain below is
+# static (it depends only on column NAMES, never on data), but building it
+# costs hundreds of py4j round-trips (per-category when-chains, 230-term
+# expr strings) — measurable driver tail when rebuilt per crawl cycle.
+# Column objects are immutable expression trees, safe to reuse across
+# DataFrames of the same SparkContext; keyed by applicationId so a
+# restarted context never sees another JVM's objects.
+_EXPR_CACHE: dict = {}
+
+
+def _session_cached(key: tuple, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    k = (app,) + key
+    v = _EXPR_CACHE.get(k)
+    if v is None:
+        if len(_EXPR_CACHE) > 64:  # stale sessions
+            _EXPR_CACHE.clear()
+        v = build()
+        _EXPR_CACHE[k] = v
+    return v
+
+
 def with_category(
     df,
     url: str = "url",
@@ -289,37 +314,54 @@ def with_category(
     Three separate projections: scores are materialized as columns guarded
     by ``_resolved IS NULL`` (rows settled by the cheap steps never pay the
     regexp_count pass), and the guard keeps CollapseProject from re-inlining
-    the 230-regex sums into the argmax expression."""
-    u, t, c = F.col(url), F.col(title), F.col(content)
+    the 230-regex sums into the argmax expression. The static Column
+    fragments are built once per session (_session_cached) and the
+    per-category score columns land in ONE withColumns call."""
+    t, c = F.col(title), F.col(content)
     forced = F.when(
         (F.lower(F.coalesce(F.col(site_type), F.lit(""))) == "specific")
         & F.col(sport_focus).isNotNull()
         & (F.col(sport_focus) != ""),
         F.col(sport_focus),
     )
+    url_resolved = _session_cached(
+        ("url_resolved", url),
+        lambda: F.coalesce(
+            segment_category(F.col(url)), url_pattern_category(F.col(url))
+        ),
+    )
     step = df.withColumn(
-        "_resolved",
-        F.coalesce(forced, segment_category(u), url_pattern_category(u)),
+        "_resolved", F.coalesce(forced, url_resolved)
     ).withColumn(
         "_cs_txt",
         F.when(F.col("_resolved").isNull(), content_text(t, c)).otherwise(
             F.lit("")
         ),
     )
-    scores = content_score_columns("_cs_txt")
-    for cat, s in scores.items():
-        step = step.withColumn(
-            f"_cs_{cat}", F.when(F.col("_resolved").isNull(), s)
-        )
-    score_cols = [F.col(f"_cs_{cat}") for cat in CATEGORY_KEYWORDS]
-    m = F.greatest(*score_cols)
-    argmax = None
-    for cat in CATEGORY_KEYWORDS:  # dict order = python max() tie-break
-        cond = F.col(f"_cs_{cat}") == m
-        argmax = F.when(cond, F.lit(cat)) if argmax is None else argmax.when(
-            cond, F.lit(cat)
-        )
-    content_cat = F.when(m >= F.lit(MIN_CONFIDENCE_SCORE), argmax)
+    score_map = _session_cached(
+        ("score_cols",),
+        lambda: {
+            cat: F.when(F.col("_resolved").isNull(), s)
+            for cat, s in content_score_columns("_cs_txt").items()
+        },
+    )
+    step = step.withColumns(
+        {f"_cs_{cat}": s for cat, s in score_map.items()}
+    )
+
+    def _build_content_cat():
+        score_cols = [F.col(f"_cs_{cat}") for cat in CATEGORY_KEYWORDS]
+        m = F.greatest(*score_cols)
+        argmax = None
+        for cat in CATEGORY_KEYWORDS:  # dict order = python max() tie-break
+            cond = F.col(f"_cs_{cat}") == m
+            argmax = (
+                F.when(cond, F.lit(cat)) if argmax is None
+                else argmax.when(cond, F.lit(cat))
+            )
+        return F.when(m >= F.lit(MIN_CONFIDENCE_SCORE), argmax)
+
+    content_cat = _session_cached(("content_cat",), _build_content_cat)
     return step.withColumn(
         out, F.coalesce(F.col("_resolved"), content_cat, F.lit("sports"))
     ).drop("_resolved", "_cs_txt", *[f"_cs_{cat}" for cat in CATEGORY_KEYWORDS])

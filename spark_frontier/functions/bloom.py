@@ -253,6 +253,7 @@ def dedup_unseen(
     probe: str = "broadcast",
     seen_count: int | None = None,
     broadcast_seen_cap: int = BROADCAST_SEEN_CAP,
+    probe_fn=None,
 ) -> DataFrame:
     """Return frontier rows NOT in seen — exactly — using the bloom to
     shrink the anti-join probe side (reference dedup: repository.py:352-369
@@ -301,7 +302,12 @@ def dedup_unseen(
     # One consumer, zero recompute, same exact result. The seen side is
     # explicitly broadcast: this mode is for seen sets that fit executor
     # memory (the 10^10-key path is probe='distributed' above).
-    fn = might_contain_udf(frontier.sparkSession, segments, n_segments)
+    # ``probe_fn``: a prebuilt might_contain_udf — callers on a hot path
+    # build it once (bitmap collect + broadcast are driver-blocking jobs)
+    # on a background thread instead of per dedup call
+    fn = probe_fn or might_contain_udf(
+        frontier.sparkSession, segments, n_segments
+    )
     flagged = frontier.withColumn("_maybe_seen", fn(F.col(key_col)))
     seen_k = seen.select(F.col(key_col).alias("_probe_key"))
     if seen_count is None or seen_count <= broadcast_seen_cap:

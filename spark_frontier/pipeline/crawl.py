@@ -57,6 +57,8 @@ from spark_frontier.sitemap.expand import expand_sitemap_tree
 from spark_frontier.storage import SnapStore
 from spark_frontier.storage.materialize import materialize
 
+_HS_LITERAL_CAP = 4096  # above this, broadcast-join the host state
+
 LINK_COLUMNS = [
     "site_id", "url", "canon_url", "url_key", "url_hash", "host", "image_id",
     "caption", "title", "sport_category", "lastmod", "published_at",
@@ -423,7 +425,19 @@ def _run_cycle_inner(
             hs = host_tbl.read(spark)
             if hs is None:
                 hs = empty_host_state(spark)
-            return seen, segments, bloom_m_bits, hs, seen_count
+            # wave 1's literal-state collect runs HERE, overlapped with
+            # discovery (the limit-collect on an empty/small table still
+            # costs 2-3 scale-up jobs of driver latency on the wave path)
+            hs_rows0 = hs.limit(_HS_LITERAL_CAP + 1).collect()
+            # prebuild the broadcast bloom probe (bitmap collect +
+            # sc.broadcast serialization) off the wave critical path too
+            probe_fn = None
+            if segments is not None and bloom_probe == "broadcast":
+                from spark_frontier.functions.bloom import might_contain_udf
+
+                probe_fn = might_contain_udf(spark, segments, bloom_segments)
+            return (seen, segments, bloom_m_bits, hs, seen_count, hs_rows0,
+                    probe_fn)
         finally:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
@@ -521,7 +535,8 @@ def _run_cycle_inner(
             )
 
 
-        seen, segments, bloom_m_bits, hs, seen_count = fut_state.result()
+        (seen, segments, bloom_m_bits, hs, seen_count, hs_rows,
+         probe_fn) = fut_state.result()
         _tr("state_init")
 
         # In-cycle attempted set: the reference iterates its new-URL list ONCE
@@ -536,8 +551,6 @@ def _run_cycle_inner(
         # for the final wave it computes on the async commit lane
         hs_next: DataFrame | None = None  # lazy fold from the latest wave
 
-        _HS_LITERAL_CAP = 4096  # above this, broadcast-join the state instead
-
         wave_key_slices: list[DataFrame] = []  # valid keys per wave (for bloom)
         wave_site_slices: list[DataFrame] = []  # (site_id, is_valid) for K3 logs
         wave = 0
@@ -549,18 +562,20 @@ def _run_cycle_inner(
             if hs_next is not None:
                 hs = hs_next.transform(materialize)
                 hs_next = None
-            # LITERALIZE small host state: every broadcast exchange is a
-            # separate driver-scheduled job (~0.5-1 s serial wall each, at
-            # any core count); with ≤4096 hosts the state rows inline into
-            # the plan as literal maps/filters — zero extra jobs per wave.
-            # Above the cap (the 10^6-host design point) the broadcast
-            # join path is used unchanged.
-            hs_rows = hs.limit(_HS_LITERAL_CAP + 1).collect()
+                # LITERALIZE small host state: every broadcast exchange
+                # is a separate driver-scheduled job (~0.5-1 s serial
+                # wall each, at any core count); with ≤4096 hosts the
+                # state rows inline into the plan as literal maps/filters
+                # — zero extra jobs per wave. Above the cap (the
+                # 10^6-host design point) the broadcast join path is
+                # used unchanged. Wave 1's rows were collected on the
+                # init thread, overlapped with discovery.
+                hs_rows = hs.limit(_HS_LITERAL_CAP + 1).collect()
             hs_literal = len(hs_rows) <= _HS_LITERAL_CAP
             unseen = dedup_unseen(
                 candidates, seen.select("url_key"), segments=segments,
                 n_segments=bloom_segments, probe=bloom_probe,
-                seen_count=seen_count,
+                seen_count=seen_count, probe_fn=probe_fn,
             )
             if attempted is not None:
                 unseen = unseen.join(attempted, on="url_key", how="left_anti")

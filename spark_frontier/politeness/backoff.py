@@ -72,8 +72,41 @@ def update_host_state(
         F.max("politeness_deadline").alias("batch_last_fetch_ts"),
     ).select(
         "host",
-        F.transform(F.col("_ordered"), lambda s: s["http_code"]).alias("new_codes"),
+        F.transform(F.col("_ordered"), lambda s: s["http_code"]).alias("all_codes"),
         "batch_last_fetch_ts",
+    )
+
+    # SUFFIX REDUCTION (exactness-preserving): a success wipes codes, cf,
+    # and blocked, so the expensive per-element fold below only ever needs
+    # the codes AFTER the batch's LAST success — everything before it can
+    # influence the final state only through n_429 (counted over the full
+    # array, one cheap pass) and last_fetch_ts (the max above). Folding
+    # 600k codes per hot host with per-element array concat/slice was the
+    # single longest commit-tail job (~2.3 s, round-4 event logs); the
+    # suffix is typically a handful of trailing failures.
+    _succ_idx = F.filter(
+        F.transform(
+            F.col("all_codes"),
+            lambda c, i: F.when((c >= 200) & (c < 400), i),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    _last_succ = F.get(_succ_idx, F.size(_succ_idx) - 1)  # null-safe
+    per_host = per_host.select(
+        "host",
+        "batch_last_fetch_ts",
+        F.size(F.filter(F.col("all_codes"), lambda c: c == 429)).alias(
+            "_n429"
+        ),
+        _last_succ.isNotNull().alias("_had_success"),
+        F.when(
+            _last_succ.isNotNull(),
+            # 0-based index i → suffix starts at 1-based position i+2
+            F.slice(
+                F.col("all_codes"), _last_succ + F.lit(2),
+                F.size(F.col("all_codes")),
+            ),
+        ).otherwise(F.col("all_codes")).alias("new_codes"),
     )
 
     merged = per_host.join(host_state, on="host", how="full_outer")
@@ -95,10 +128,23 @@ def update_host_state(
             arr, F.greatest(F.lit(-WINDOW), -F.size(arr)), F.lit(WINDOW)
         )
 
-    init = F.struct(
-        F.coalesce(F.col("recent_codes"), F.array().cast("array<int>")).alias("codes"),
-        F.coalesce(F.col("consecutive_failures"), F.lit(0)).alias("cf"),
-        F.coalesce(F.col("is_blocked"), F.lit(False)).alias("blocked"),
+    # a success in the batch wiped prior state at that point — the suffix
+    # fold then starts from the empty state, not the carried one
+    _empty_init = F.struct(
+        F.array().cast("array<int>").alias("codes"),
+        F.lit(0).alias("cf"),
+        F.lit(False).alias("blocked"),
+    )
+    init = F.when(
+        F.coalesce(F.col("_had_success"), F.lit(False)), _empty_init
+    ).otherwise(
+        F.struct(
+            F.coalesce(
+                F.col("recent_codes"), F.array().cast("array<int>")
+            ).alias("codes"),
+            F.coalesce(F.col("consecutive_failures"), F.lit(0)).alias("cf"),
+            F.coalesce(F.col("is_blocked"), F.lit(False)).alias("blocked"),
+        )
     )
     new_codes = F.coalesce(F.col("new_codes"), F.array().cast("array<int>"))
     folded = F.aggregate(
@@ -136,7 +182,8 @@ def update_host_state(
 
     # T2 (rate_limiter.py:97-112): mark_rate_limited fires PER 429 response,
     # so k 429s in one batch halve the rate k times (floor MIN_REFILL_RATE).
-    n_429 = F.size(F.filter(new_codes, lambda c: c == 429))
+    # Counted over the FULL batch (pre-suffix pass above), not the suffix.
+    n_429 = F.coalesce(F.col("_n429"), F.lit(0))
     got_429 = n_429 > 0
     old_rate = F.coalesce(F.col("refill_rate"), F.lit(DEFAULT_REFILL_RATE))
     new_rate = F.when(
