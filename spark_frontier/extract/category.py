@@ -253,22 +253,70 @@ def content_text(title: Column, content: Column) -> Column:
     )
 
 
-def content_score_columns(text_col: str = "_cs_txt") -> dict[str, Column]:
-    """V8 JVM-side: per-category keyword-occurrence counts over a
-    pre-materialized text column — one foldable regexp_count per keyword
-    (compiled once by codegen), summed per category. Exact parity with
-    ``len(re.findall(r'\\b'+kw+r'\\b', text))`` since keywords are
-    regex-literal in both engines. ``text_col`` names a plain column (see
-    with_category) to keep the generated code small. Each category's sum
-    is built as ONE F.expr string — the loop of ~700 Column py4j calls it
-    replaces was per-cycle driver tail."""
+# Keyword partition for the one-pass token scorer below. A keyword that is
+# a single \w+ word has ``\b<kw>\b`` semantics EXACTLY equal to "count of
+# word tokens == kw" when the text is split on non-word chars ([a-z0-9_]
+# is Java regex \w after lower()): \b sits precisely at the split
+# boundaries, and matches of a pure-word pattern can never overlap a
+# separator. Multi-word / hyphenated phrases keep the regex (a token
+# bigram would also match "super-bowl" / "super  bowl", which the
+# reference's literal-space pattern does not). A keyword repeated within
+# one category would be counted per occurrence by the regex sum but once
+# by a membership mask, so duplicates stay on the regex path (none exist
+# today; this keeps exactness independent of the config data).
+_WORD_KW_RE = re.compile(r"^[a-z0-9_]+$")
+_CAT_BIT: dict[str, int] = {c: 1 << i for i, c in enumerate(CATEGORY_KEYWORDS)}
+_WORD_KW_MASK: dict[str, int] = {}
+_PHRASE_KWS: dict[str, list[str]] = {c: [] for c in CATEGORY_KEYWORDS}
+for _cat, _kws in CATEGORY_KEYWORDS.items():
+    for _kw in _kws:
+        if _WORD_KW_RE.match(_kw) and _kws.count(_kw) == 1:
+            _WORD_KW_MASK[_kw] = _WORD_KW_MASK.get(_kw, 0) | _CAT_BIT[_cat]
+        else:
+            _PHRASE_KWS[_cat].append(_kw)
+
+
+def hits_expr_sql(text_col: str = "_cs_txt") -> str:
+    """SQL for the ONE tokenize+lookup pass shared by all five categories:
+    split the scored text into word tokens, map each through a literal
+    keyword→category-bitmask map, keep the hits. The per-category count is
+    then a trivial ``size(filter(hits, h -> h & bit))`` — replacing ~190
+    per-keyword regexp_count invocations per row (the measured ~60% of
+    the wave job's JVM time; regex-engine startup dominates on short
+    captions). The map literal is constant-folded once by Catalyst."""
+    items = ",".join(f"'{k}',{v}" for k, v in sorted(_WORD_KW_MASK.items()))
+    return (
+        f"filter(transform(split(`{text_col}`, '[^a-z0-9_]+'),"
+        f" t -> map({items})[t]), h -> h is not null)"
+    )
+
+
+def content_score_columns(
+    text_col: str = "_cs_txt", hits_col: str = "_cs_hits"
+) -> dict[str, Column]:
+    """V8 JVM-side: per-category keyword-occurrence counts — exact parity
+    with ``sum(len(re.findall(r'\\b'+kw+r'\\b', text)))`` over the
+    category's keywords (category_detector.py:105-142).
+
+    Two-tier plan: single-word keywords are counted from the shared
+    ``hits_col`` token-mask array (see ``hits_expr_sql``); multi-word /
+    hyphenated phrases keep one regexp_count each, short-circuited by a
+    plain ``contains`` substring guard (a \\b-regex match implies the
+    literal substring is present, so the guard is exactness-free). Each
+    category's sum is ONE F.expr string — Column-op loops cost ~1200 py4j
+    round-trips per plan build."""
     scores: dict[str, Column] = {}
-    for cat, kws in CATEGORY_KEYWORDS.items():
-        terms = " + ".join(
-            "regexp_count(`%s`, '\\\\b%s\\\\b')" % (text_col, kw)
-            for kw in kws
-        )
-        scores[cat] = F.expr(terms)
+    for cat in CATEGORY_KEYWORDS:
+        parts = [
+            f"size(filter(`{hits_col}`, h -> (h & {_CAT_BIT[cat]}) != 0))"
+        ]
+        for kw in _PHRASE_KWS[cat]:
+            parts.append(
+                "IF(contains(`%s`, '%s'),"
+                " regexp_count(`%s`, '\\\\b%s\\\\b'), 0)"
+                % (text_col, kw, text_col, kw)
+            )
+        scores[cat] = F.expr(" + ".join(parts))
     return scores
 
 
@@ -337,6 +385,14 @@ def with_category(
         F.when(F.col("_resolved").isNull(), content_text(t, c)).otherwise(
             F.lit("")
         ),
+    ).withColumn(
+        # the shared tokenize+mask pass (hits_expr_sql): referenced by all
+        # five score columns, so CollapseProject keeps it materialized
+        # once; rows settled upstream carry _cs_txt = "" → empty hits
+        "_cs_hits",
+        _session_cached(
+            ("hits_expr",), lambda: F.expr(hits_expr_sql("_cs_txt"))
+        ),
     )
     score_map = _session_cached(
         ("score_cols",),
@@ -364,6 +420,7 @@ def with_category(
     content_cat = _session_cached(("content_cat",), _build_content_cat)
     return step.withColumn(
         out, F.coalesce(F.col("_resolved"), content_cat, F.lit("sports"))
-    ).drop("_resolved", "_cs_txt", *[f"_cs_{cat}" for cat in CATEGORY_KEYWORDS])
+    ).drop("_resolved", "_cs_txt", "_cs_hits",
+           *[f"_cs_{cat}" for cat in CATEGORY_KEYWORDS])
 
 
