@@ -575,6 +575,23 @@ def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q30_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clusters: the canonical step AFTER
+    pairwise near-dup detection — every document mapped to its duplicate
+    cluster's minimum doc_id (min-label propagation to fixpoint; the
+    DuckDB oracle replays it as a recursive reachability CTE). Pairs come
+    from the q13 n-gram Jaccard operator, so the cluster graph is itself
+    oracle-checked upstream."""
+    from spark_frontier.analytics.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.4)
+    return dedup_clusters(pairs, vertices=docs)
+
+
 def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth input_hint table → decode → channel stats
     (no driver images table, so the input is generated deterministically)."""
@@ -626,12 +643,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_simhash": q22_simhash,
         "q23_ann_lsh": q23_ann_lsh,
         "q29_ann_ivf": q29_ann_ivf,
+        "q30_dedup_clusters": q30_dedup_clusters,
         "q24_image_stats": q24_image_stats,
     }
 
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKENS = f"list_filter(string_split_regex({_NORM}, '\\s+'), x -> x <> '')"
+
+# q13's full pair query, shared verbatim with q30 (which clusters the
+# same pairs) so the two oracles can never drift apart
+_Q13_SQL = f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(1, greatest(length(t)-4, 1)+1)) AS i
+            FROM norm),
+    grams AS (SELECT DISTINCT doc_id, substr(t, i::int, 5) AS gram
+              FROM idx),
+    -- stop-gram pruning, identical rule to the Spark operator:
+    -- df_cap = max(64, 0.02 * |docs|); hot grams leave both the
+    -- pair generation AND the set sizes (discriminative-shingle
+    -- jaccard)
+    hot AS (SELECT gram FROM grams GROUP BY gram
+            HAVING count(*) > greatest(64,
+                (SELECT CAST(0.02 * count(*) AS BIGINT)
+                 FROM documents))),
+    pruned AS (SELECT g.* FROM grams g
+               WHERE g.gram NOT IN (SELECT gram FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS set_size
+              FROM pruned GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared
+              FROM pruned a JOIN pruned b USING (gram)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    j AS (SELECT doc_a, doc_b,
+                 shared::DOUBLE
+                 / (sa.set_size + sb.set_size - shared) AS jac
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+    FROM j WHERE jac >= 0.4
+"""
 
 
 def _stop_list(lang: str) -> str:
@@ -804,37 +857,27 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY 1
         """,
-        "q13_ngram_jaccard": f"""
-            WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
-            idx AS (SELECT doc_id, t,
-                           unnest(range(1, greatest(length(t)-4, 1)+1)) AS i
-                    FROM norm),
-            grams AS (SELECT DISTINCT doc_id, substr(t, i::int, 5) AS gram
-                      FROM idx),
-            -- stop-gram pruning, identical rule to the Spark operator:
-            -- df_cap = max(64, 0.02 * |docs|); hot grams leave both the
-            -- pair generation AND the set sizes (discriminative-shingle
-            -- jaccard)
-            hot AS (SELECT gram FROM grams GROUP BY gram
-                    HAVING count(*) > greatest(64,
-                        (SELECT CAST(0.02 * count(*) AS BIGINT)
-                         FROM documents))),
-            pruned AS (SELECT g.* FROM grams g
-                       WHERE g.gram NOT IN (SELECT gram FROM hot)),
-            sizes AS (SELECT doc_id, count(*) AS set_size
-                      FROM pruned GROUP BY doc_id),
-            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                             count(*) AS shared
-                      FROM pruned a JOIN pruned b USING (gram)
-                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-            j AS (SELECT doc_a, doc_b,
-                         shared::DOUBLE
-                         / (sa.set_size + sb.set_size - shared) AS jac
-                  FROM pairs
-                  JOIN sizes sa ON sa.doc_id = doc_a
-                  JOIN sizes sb ON sb.doc_id = doc_b)
-            SELECT doc_a, doc_b, round(jac, 6) AS jaccard
-            FROM j WHERE jac >= 0.4
+        "q13_ngram_jaccard": _Q13_SQL,
+        "q30_dedup_clusters": f"""
+            WITH RECURSIVE near_pairs AS ({_Q13_SQL}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+                UNION
+                SELECT doc_b, doc_a FROM near_pairs
+            ),
+            -- reachability closure: every (vertex, label of any vertex
+            -- that reaches it); min label per vertex = component min id
+            reach(id, lab) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lab
+                FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (SELECT id AS doc_id, min(lab) AS cluster_id
+                     FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "q14_embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -451,3 +451,92 @@ def embedding_neardup_pairs(
         # a pair sharing several bands verified several times → dedupe
         out = out.dropDuplicates(["vec_a", "vec_b"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> dedup clusters
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every doc in
+    a component gets ``cluster_id`` = the component's minimum doc id —
+    the canonical "keep one representative per duplicate cluster" step
+    that follows any pairwise dedup (ngram_jaccard_pairs /
+    minhash_lsh_pairs / simhash_pairs feed straight in).
+
+    Algorithm: min-label propagation to fixpoint. Each round every vertex
+    takes the min of its own label and its neighbors' labels — one
+    shuffle (groupBy on the vertex id) per round, lineage truncated per
+    round (localCheckpoint; reliable checkpoint on a cluster via
+    ``materialize``). Rounds needed = graph diameter, which for dedup
+    clusters (near-cliques of copies plus short chains of drifted
+    versions) is small and bounded by ``max_iter``; a frontier-style
+    optimization propagates only labels that changed in the previous
+    round, so late rounds touch only the unconverged tail of the graph.
+    At 10^9-edge scale with long chains, swap the inner loop for
+    alternating large-star/small-star contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — same contract,
+    O(log n) rounds; the propagation loop is the right default below
+    that regime.
+
+    Deterministic: labels are ids, min is order-free. Returns
+    (doc_id, cluster_id); with ``vertices`` given (a DataFrame with a
+    ``doc_id`` column), isolated docs appear as their own cluster."""
+    ea = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    eb = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = ea.unionByName(eb).distinct().transform(materialize)
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .transform(materialize)
+    )
+    # only vertices whose label changed last round need to re-broadcast
+    # their label; round 1: everyone
+    changed = labels
+
+    for _ in range(max_iter):
+        # neighbor labels, from changed vertices only
+        prop = (
+            edges.join(changed.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        merged = (
+            labels.join(prop, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            )
+        ).transform(materialize)
+        n_changed = merged.filter(F.col("_chg")).count()
+        labels = merged.drop("_chg")
+        if n_changed == 0:
+            break
+        changed = merged.filter(F.col("_chg")).drop("_chg")
+
+    out = labels.select(F.col("id").alias("doc_id"),
+                        F.col("label").alias("cluster_id"))
+    if vertices is not None:
+        out = (
+            vertices.select("doc_id").distinct()
+            .join(out, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+    return out

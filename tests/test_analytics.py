@@ -229,3 +229,43 @@ def test_ivf_recall_and_persisted_index(spark, tmp_path_factory):
     assert [(r["vec_id"], round(r["cosine"], 6)) for r in persisted] == [
         (r["vec_id"], round(r["cosine"], 6)) for r in approx_rows
     ]
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation == brute-force union-find on a graph with a
+    chain (transitivity across hops), a clique, isolated vertices, and a
+    two-node island."""
+    from spark_frontier.analytics.dedup import dedup_clusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain: all -> 1
+        (10, 11), (11, 12), (10, 12),    # clique: all -> 10
+        (20, 21),                        # island
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    verts = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31]],
+        "doc_id long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20,
+                   30: 30, 31: 31}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 30-hop path exercises multi-round propagation + the changed-only
+    frontier optimization; every vertex must still reach label 0."""
+    from spark_frontier.analytics.dedup import dedup_clusters
+
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = dedup_clusters(pairs, max_iter=64).collect()
+    assert len(out) == n + 1
+    assert all(r["cluster_id"] == 0 for r in out)
