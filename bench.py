@@ -30,8 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# v2: doubled world (24 urlsets/site) — after the round-4 category-scorer
+# rewrite halved per-URL cost, the 624k-URL cycle no longer carried enough
+# parallel work per cycle to represent the rule's 10^10-URL design point
+# (fixed per-cycle driver costs dominated the scaling measurement). The
+# suffix keeps stale cached worlds from colliding.
 BENCH_WORLD = os.environ.get(
-    "SPARK_GRAFT_BENCH_WORLD", "/tmp/spark_frontier_bench_world"
+    "SPARK_GRAFT_BENCH_WORLD", "/tmp/spark_frontier_bench_world_v2"
 )
 
 HEADLINE = [
@@ -52,8 +57,12 @@ HEADLINE = [
 
 
 def ensure_bench_world() -> str:
-    """Deterministic synthetic frontier world, sized to amortize startup:
-    ~96k candidate URLs over 24 sites with one hot host (skew)."""
+    """Deterministic synthetic frontier world: ~9.2M sitemap entries /
+    ~1.25M new URLs per cycle over 32 sites with one hot host (skew).
+    Sized so one cycle carries enough parallel work that fixed per-cycle
+    driver costs (~5-6 s) stay a small fraction at the 4N leg — the
+    representative regime for the rule's 10^10-URL frontier, where a
+    cycle is hours of executor work."""
     marker = os.path.join(BENCH_WORLD, "web_pages.parquet")
     if not os.path.exists(marker):
         from spark_frontier.pipeline.synth import gen_world
@@ -61,7 +70,7 @@ def ensure_bench_world() -> str:
         gen_world(
             BENCH_WORLD,
             n_sites=32,
-            urlsets_per_site=12,
+            urlsets_per_site=24,
             urls_per_urlset=5000,
             n_images=512,
             img_w=64,
@@ -206,7 +215,15 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
     vs AQE off 31 s per cycle. ``fuse`` likewise defaults OFF everywhere:
     a materialized candidates checkpoint lets the wave job's python-UDF
     stages overlap JVM stages (measured equal at 2-8 cores, ~1.5× faster
-    at 32)."""
+    at 32).
+
+    The TIMED cycles run with event logging OFF: inline JSON event
+    logging was measured at ~17 s/cycle on the pinned 8-core leg (the
+    writer thread and serialization contend for the leg's own CPUs) —
+    instrumentation was poisoning the number it audited. The work-
+    accounting metrics now come from ONE extra instrumented cycle per
+    leg, run after the timed ones in a fresh session; its wall is
+    reported separately and never feeds urls_per_sec."""
     import shutil
 
     from spark_frontier.pipeline.crawl import load_world
@@ -214,23 +231,18 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
 
     import tempfile
 
+    base_conf = {
+        "spark.sql.adaptive.enabled": "true" if aqe else "false",
+        # bench world tables are single ~10-30 MB zstd files; split
+        # them to ~1m so scan+shuffle-write stages use every core
+        # (they stop at 64k-row-group boundaries)
+        "spark.sql.files.maxPartitionBytes": "1m",
+    }
     stop_spark()
-    eventlog_dir = tempfile.mkdtemp(prefix=f"bench_evlog_{cores}_")
     spark = get_spark(
         f"frontier-bench-{cores}", cores=cores,
         shuffle_partitions=max(cores, 8),
-        extra_conf={
-            "spark.sql.adaptive.enabled": "true" if aqe else "false",
-            # bench world tables are single ~10-30 MB zstd files; split
-            # them to ~1m so scan+shuffle-write stages use every core
-            # (they stop at 64k-row-group boundaries)
-            "spark.sql.files.maxPartitionBytes": "1m",
-            # work accounting for the reported legs (audit trail in the
-            # bench JSON; see _eventlog_metrics)
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": "file://" + eventlog_dir,
-            "spark.eventLog.compress": "false",
-        },
+        extra_conf=base_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     dirs = []
@@ -243,17 +255,14 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
 
         # min wall over timed cycles: this host shows ±30% background
         # noise between runs minutes apart; min is the least-contaminated
-        # sample of the engine's actual cost
+        # sample of the uncontaminated cycle cost
         walls = []
-        windows = []
         report = None
         for _ in range(timed_cycles):
-            wall, report, d, win = _one_cycle(spark, world, cores, fuse=fuse)
+            wall, report, d, _win = _one_cycle(spark, world, cores, fuse=fuse)
             dirs.append(d)
             walls.append(wall)
-            windows.append(win)
         wall = min(walls)
-        min_window = windows[walls.index(wall)]
         processed = report.scheduled  # fetched+deduped frontier URLs
         result = {
             "cores": cores,
@@ -267,14 +276,41 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
-        stop_spark()  # flushes + closes the event log
+        stop_spark()
+
+    # --- separate instrumented accounting cycle (audit trail only) ------
+    eventlog_dir = tempfile.mkdtemp(prefix=f"bench_evlog_{cores}_")
+    ev = None
+    ev_wall = None
+    dirs = []
     try:
-        ev = _eventlog_metrics(eventlog_dir, min_window, cores)
+        spark = get_spark(
+            f"frontier-acct-{cores}", cores=cores,
+            shuffle_partitions=max(cores, 8),
+            extra_conf={
+                **base_conf,
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": "file://" + eventlog_dir,
+                "spark.eventLog.compress": "false",
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        world = load_world(spark, ensure_bench_world())
+        _, _, d0, _ = _one_cycle(spark, world, cores, fuse=fuse)
+        dirs.append(d0)
+        ev_wall, _, d1, win = _one_cycle(spark, world, cores, fuse=fuse)
+        dirs.append(d1)
+        stop_spark()  # flushes + closes the event log
+        ev = _eventlog_metrics(eventlog_dir, win, cores)
     except Exception:
         ev = None
     finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        stop_spark()
         shutil.rmtree(eventlog_dir, ignore_errors=True)
     if ev is not None:
+        ev["accounting_cycle_wall_s"] = round(ev_wall, 3)
         result["eventlog"] = ev
     return result
 
@@ -324,7 +360,9 @@ def _frontier_in_subprocess(cores: int, pin: bool = True,
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
         cmd,
-        capture_output=True, text=True, timeout=1800,
+        # v2 world: the pinned 2-core leg is ~5 cycles x ~250 s (warmup +
+        # 2 timed + instrumented accounting pair) plus noise headroom
+        capture_output=True, text=True, timeout=3000,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     for line in out.stdout.splitlines():
