@@ -592,6 +592,30 @@ def q30_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, vertices=docs)
 
 
+def q31_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: deterministic per-subspace codebooks
+    (md5-order init, 2 Lloyd iterations, m=4 subspaces × 8 codes) encode
+    every vector as 4 small ints; ADC then scores candidates from a
+    literal per-query lookup table — one whole-stage-codegen'd expression
+    over the code column, no float vectors read at scan time. This is the
+    memory-compression scale path next to q23's LSH buckets and q29's IVF
+    posting lists (m bytes/vector vs 4·dim). Oracle: _q31_oracle unrolls
+    the per-subspace training as chained CTEs exactly like _q29_oracle
+    unrolls Lloyd."""
+    from spark_frontier.analytics.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+        "embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    books = pq_fit(corpus, m=4, n_codes=8, n_iter=2)
+    return pq_adc_topk(pq_encode(corpus, books), books, qvec, k=10)
+
+
 def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth input_hint table → decode → channel stats
     (no driver images table, so the input is generated deterministically)."""
@@ -644,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_ann_lsh": q23_ann_lsh,
         "q29_ann_ivf": q29_ann_ivf,
         "q30_dedup_clusters": q30_dedup_clusters,
+        "q31_ann_pq": q31_ann_pq,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -956,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_simhash": _q22_oracle(),
         "q23_ann_lsh": _q23_oracle(),
         "q29_ann_ivf": _q29_oracle(),
+        "q31_ann_pq": _q31_oracle(),
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible
     }
@@ -1207,6 +1233,84 @@ def _q29_oracle() -> str:
                round(list_cosine_similarity(e.embedding, q.qv), 4) AS cosine
         FROM corpus e JOIN cand USING (vec_id), q
         ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+        LIMIT 10
+    """
+
+
+def _q31_oracle() -> str:
+    """DuckDB twin of q31: replays pq_fit + pq_encode + pq_adc_topk
+    exactly. The md5-hex init order is computable in both engines; for
+    each of the 4 subspaces the 2 Lloyd iterations unroll as assignment
+    (argmin squared distance, ties to the lowest code id) and update
+    (per-dim mean, empty codes carry the previous entry) CTEs over the
+    16-dim subvector slices; ADC joins each vector's final code back to
+    its trained codebook entry and sums the per-subspace squared
+    distances to the query's subvectors."""
+    m, n_codes, dim = 4, 8, 64
+    sub = dim // m
+
+    def assign(prev: str, s: int) -> str:
+        return f"""
+          SELECT vec_id, sv, code FROM (
+            SELECT e.vec_id, e.sv, c.code,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_sum(list_transform(
+                                list_zip(e.sv, c.sv),
+                                x -> (x[1] - x[2])^2)),
+                              c.code) AS rk
+            FROM sub{s} e CROSS JOIN {prev} c) WHERE rk = 1"""
+
+    def update(a: str, prev: str) -> str:
+        return f"""
+          SELECT p.code, COALESCE(u.sv, p.sv) AS sv
+          FROM {prev} p LEFT JOIN (
+            SELECT code, list(s / n ORDER BY dim) AS sv FROM (
+              SELECT code, t.i AS dim, SUM(sv[t.i]) AS s, COUNT(*) AS n
+              FROM {a}, range(1, {sub + 1}) t(i)
+              GROUP BY code, t.i)
+            GROUP BY code) u USING (code)"""
+
+    per_sub = []
+    d_terms = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        per_sub.append(f"""
+        sub{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS sv FROM corpus),
+        c0_{s} AS (SELECT code, vec[{lo}:{hi}] AS sv FROM init),
+        a1_{s} AS ({assign(f'c0_{s}', s)}),
+        c1_{s} AS ({update(f'a1_{s}', f'c0_{s}')}),
+        a2_{s} AS ({assign(f'c1_{s}', s)}),
+        c2_{s} AS ({update(f'a2_{s}', f'c1_{s}')}),
+        enc_{s} AS ({assign(f'c2_{s}', s)}),
+        d_{s} AS (
+            SELECT a.vec_id,
+                   list_sum(list_transform(
+                       list_zip(c.sv, q.qv[{lo}:{hi}]),
+                       x -> (x[1] - x[2])^2)) AS d2
+            FROM enc_{s} a JOIN c2_{s} c USING (code), q)""")
+        d_terms.append(f"d_{s}.d2")
+
+    joins = " ".join(f"JOIN d_{s} USING (vec_id)" for s in range(1, m))
+    total = " + ".join(d_terms)
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS embedding
+            FROM embeddings WHERE vec_id <> 0),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        init AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                       AS code,
+                   embedding AS vec
+            FROM corpus
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {n_codes}),
+        {','.join(per_sub)}
+        SELECT vec_id, round({total}, 4) AS adc_d2
+        FROM d_0 {joins}
+        ORDER BY {total} ASC, vec_id
         LIMIT 10
     """
 

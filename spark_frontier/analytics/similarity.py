@@ -282,3 +282,179 @@ def ivf_query(
         tbl.read(spark), centroids, query, k=k, n_probe=n_probe,
         vec_col=vec_col, id_col=id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — the memory-compression scale path
+#
+# IVF prunes WHICH vectors a probe scans; PQ shrinks WHAT is scanned: each
+# vector is encoded as m small codes (one per dim-subspace), so the index
+# holds m bytes/vector instead of 4·dim (32× at dim=64, m=8 codes<256) and a
+# probe never touches the float vectors at all — asymmetric distance
+# computation (ADC) scores candidates from a per-query lookup table. The two
+# compose (FAISS's IVF-PQ): IVF partitions the corpus, PQ compresses the
+# posting lists; here PQ stands alone so its DuckDB oracle stays tractable.
+
+
+def pq_fit(
+    embeddings: DataFrame, m: int = 4, n_codes: int = 8, n_iter: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Deterministic per-subspace Lloyd codebooks, all m subspaces trained
+    in ONE distributed pass per iteration: a single vectorized pandas UDF
+    assigns every vector its m nearest-code ids, then one
+    posexplode → groupBy(dim, code) mean updates every codebook at once
+    (≤ dim · n_codes scalar rows to the driver — fixed-size regardless of
+    corpus). Init mirrors ``kmeans_fit``: the n_codes rows with the
+    smallest md5(id) hex digest, sliced per subspace, so a SQL oracle can
+    replay training exactly (__spark_entry__._q31_oracle). At the 100 TB
+    design point codebooks train on a bounded deterministic sample (same
+    md5-order prefix) — the encode pass is the only corpus-wide job.
+    Returns an (m, n_codes, dim//m) ndarray."""
+    from pyspark.sql import functions as F2
+
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    init_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")),
+            F.col(id_col),
+        )
+        .limit(n_codes)
+        .collect()
+    )
+    base = np.array([list(r[vec_col]) for r in init_rows], dtype=np.float64)
+    books = np.stack([base[:, s * sub:(s + 1) * sub] for s in range(m)])
+
+    for _ in range(n_iter):
+        assigned = embeddings.select(
+            F.col(vec_col),
+            _pq_codes_udf(books)(F.col(vec_col)).alias("codes"),
+        )
+        sums = (
+            assigned.select(
+                F2.posexplode(F.col(vec_col).cast("array<double>"))
+                .alias("dim", "v"),
+                "codes",
+            )
+            .select(
+                "dim", "v",
+                F.element_at(
+                    "codes", (F.col("dim") / sub).cast("int") + 1
+                ).alias("code"),
+            )
+            .groupBy("dim", "code")
+            .agg(F2.sum("v").alias("s"), F2.count("*").alias("n"))
+            .collect()
+        )
+        new_books = books.copy()  # codes with no members carry over
+        for r in sums:
+            s_idx = r["dim"] // sub
+            new_books[s_idx][r["code"]][r["dim"] % sub] = r["s"] / r["n"]
+        books = new_books
+    return books
+
+
+def _pq_codes_udf(codebooks):
+    """Vectorized encoder: per batch, argmin squared distance in every
+    subspace (ties → lowest code id, matching the oracle's ROW_NUMBER
+    tie-break); returns the m codes as one array column."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    b = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, sub)
+    m, _, sub = b.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        mtx = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((len(mtx), m), dtype=np.int32)
+        for s in range(m):
+            seg = mtx[:, s * sub:(s + 1) * sub]
+            d2 = ((seg[:, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return _codes
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode the corpus: (id, codes array<int>) — the whole PQ index.
+    This narrow table is what ships/persists; the float vectors stay in
+    the base table and are only re-read for optional exact re-ranking."""
+    return embeddings.select(
+        F.col(id_col), _pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame, codebooks, query: list[float], k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scan: the query's per-subspace distance table (m × n_codes
+    doubles) is inlined as literal arrays, so scoring is one whole-stage-
+    codegen'd expression over the codes column — no Python, no join, no
+    float vectors read. Returns top-k by ascending approximate squared
+    distance (``adc_d2``), id tie-break."""
+    b = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = b.shape
+    q = np.asarray(query, dtype=np.float64)
+    terms = []
+    for s in range(m):
+        lut = ((b[s] - q[s * sub:(s + 1) * sub][None, :]) ** 2).sum(axis=1)
+        vals = ",".join(repr(float(x)) for x in lut)
+        # cast: bare decimal-point literals parse as DECIMAL in Spark SQL
+        terms.append(
+            f"element_at(cast(array({vals}) as array<double>),"
+            f" element_at(codes, {s + 1}) + 1)"
+        )
+    adc = F.expr(" + ".join(terms))
+    return (
+        codes_df.select(F.col(id_col), adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_adc", 4).alias("adc_d2"))
+    )
+
+
+def build_pq_index(
+    embeddings: DataFrame, store, table: str = "pq_index", m: int = 4,
+    n_codes: int = 8, n_iter: int = 2, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Persist the code table ONCE (SnapStore; Iceberg in production);
+    codebooks ride in the snapshot summary so queries need no side-channel.
+    Rebuild when the corpus or (m, n_codes, n_iter) changes — recorded in
+    the summary for staleness checks."""
+    books = pq_fit(embeddings, m=m, n_codes=n_codes, n_iter=n_iter,
+                   vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col)
+    store.table(table).overwrite(
+        codes,
+        summary={
+            "op": "pq_index", "m": m, "n_codes": n_codes, "n_iter": n_iter,
+            "codebooks": [[[float(x) for x in row] for row in book]
+                          for book in books],
+        },
+    )
+    return books
+
+
+def pq_query(
+    spark, store, query: list[float], k: int = 10, table: str = "pq_index",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the PERSISTED code table — the scan reads m ints per
+    vector and nothing else."""
+    tbl = store.table(table)
+    books = np.array(tbl.summary()["codebooks"], dtype=np.float64)
+    return pq_adc_topk(tbl.read(spark), books, query, k=k, id_col=id_col)

@@ -231,6 +231,69 @@ def test_ivf_recall_and_persisted_index(spark, tmp_path_factory):
     ]
 
 
+def test_pq_adc_matches_numpy_and_persisted_index(spark, tmp_path_factory):
+    """PQ ANN: (a) codebook fit is bit-deterministic; (b) the Spark
+    encode + literal-LUT ADC expression reproduces an independent numpy
+    replay of encode/ADC exactly (ids and 4-dp distances); (c) every
+    ADC top-10 hit lies in the query's true cluster — at 8 codes/subspace
+    the quantizer resolves clusters, not in-cluster ordering, which is
+    the property PQ actually promises; (d) the persisted code table
+    (codebooks in the snapshot summary) returns the same rows as the
+    scan-time path."""
+    from spark_frontier.analytics.similarity import (
+        build_pq_index,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+        pq_query,
+    )
+    from spark_frontier.storage import SnapStore
+
+    rng = np.random.default_rng(13)
+    dim, per = 16, 30
+    centers = rng.standard_normal((8, dim)) * 4.0
+    vecs = np.concatenate(
+        [centers[c] + rng.standard_normal((per, dim)) * 0.4 for c in range(8)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    # createDataFrame stored float32 — replay from the same precision
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    q = [float(x) for x in (centers[2] + 0.1 * rng.standard_normal(dim))]
+
+    books = pq_fit(df, m=4, n_codes=8, n_iter=2)
+    assert np.array_equal(books, pq_fit(df, m=4, n_codes=8, n_iter=2))
+
+    got = pq_adc_topk(pq_encode(df, books), books, q, k=10).collect()
+
+    # independent numpy replay of encode + ADC with the fitted codebooks
+    m, n_codes, sub = books.shape
+    qv = np.asarray(q)
+    adc = np.zeros(len(v32))
+    for s in range(m):
+        seg = v32[:, s * sub:(s + 1) * sub]
+        d2 = ((seg[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        lut = ((books[s] - qv[s * sub:(s + 1) * sub][None, :]) ** 2).sum(
+            axis=1)
+        adc += lut[d2.argmin(axis=1)]
+    want = sorted(range(len(v32)), key=lambda i: (adc[i], i))[:10]
+    assert [r["vec_id"] for r in got] == want
+    for r in got:
+        assert abs(r["adc_d2"] - adc[r["vec_id"]]) < 1e-3
+
+    # quantizer resolves clusters: all hits from the query's cluster
+    assert all(60 <= r["vec_id"] < 90 for r in got)
+
+    store = SnapStore(str(tmp_path_factory.mktemp("pq")))
+    build_pq_index(df, store, m=4, n_codes=8, n_iter=2)
+    persisted = pq_query(spark, store, q, k=10).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in persisted] == [
+        (r["vec_id"], r["adc_d2"]) for r in got
+    ]
+
+
 def test_dedup_clusters_connected_components(spark):
     """Min-label propagation == brute-force union-find on a graph with a
     chain (transitivity across hops), a clique, isolated vertices, and a
