@@ -53,6 +53,9 @@ HEADLINE = [
     "q21_minhash_lsh",
     "q22_simhash",
     "q27_category_chain",
+    "q29_ann_ivf",
+    "q30_dedup_clusters",
+    "q31_ann_pq",
 ]
 
 
