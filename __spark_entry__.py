@@ -616,6 +616,18 @@ def q31_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(pq_encode(corpus, books), books, qvec, k=10)
 
 
+def q32_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., MOSS): rolling k-gram
+    hashes, per-window minimum selection — the partial-overlap dedup
+    index the flat md5 fingerprint (q19) can't provide. All JVM (explode,
+    md5-60-bit hash, sliding window min); DuckDB replays the identical
+    window expression."""
+    from spark_frontier.analytics.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, w=8)
+
+
 def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth input_hint table → decode → channel stats
     (no driver images table, so the input is generated deterministically)."""
@@ -669,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_ann_ivf": q29_ann_ivf,
         "q30_dedup_clusters": q30_dedup_clusters,
         "q31_ann_pq": q31_ann_pq,
+        "q32_winnow_fingerprints": q32_winnow_fingerprints,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -982,6 +995,28 @@ def oracle_sql() -> dict[str, str]:
         "q23_ann_lsh": _q23_oracle(),
         "q29_ann_ivf": _q29_oracle(),
         "q31_ann_pq": _q31_oracle(),
+        "q32_winnow_fingerprints": f"""
+            WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            grams AS (
+                SELECT doc_id, i - 1 AS pos, substr(t, i, 5) AS g
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(length(t)-4, 1)+1))
+                                 AS i
+                      FROM norm)),
+            gh AS (
+                SELECT doc_id, pos,
+                       CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh,
+                       count(*) OVER (PARTITION BY doc_id) AS n_grams
+                FROM grams),
+            sel AS (
+                SELECT doc_id, pos, n_grams,
+                       min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND 7 FOLLOWING) AS fingerprint
+                FROM gh)
+            SELECT DISTINCT doc_id, fingerprint
+            FROM sel WHERE pos <= greatest(n_grams - 8, 0)
+        """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible
     }

@@ -98,3 +98,57 @@ def lang_id(col) -> F.Column:
 def fingerprint(col) -> F.Column:
     """Deterministic 128-bit content fingerprint over normalized text."""
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(docs, k: int = 5, w: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash every
+    k-gram, slide a window of w consecutive hashes, keep each window's
+    minimum — any shared substring of length ≥ w+k-1 between two documents
+    is GUARANTEED to share a fingerprint, which makes the selected set the
+    classic index key for partial-overlap / plagiarism-style near-dup
+    detection (the rolling-hash fingerprinting the flat ``fingerprint``
+    column can't do).
+
+    All JVM: gram explode → md5-60-bit hash (DuckDB-replayable, see
+    ``dedup.md5_hash60``) → per-doc sliding ``min() OVER`` → distinct.
+    One shuffle on ``doc_id`` carrying 8-byte hashes (the text never
+    shuffles); per-doc state is a w-row window — at 100 TB this
+    partitions freely by document with no skew beyond document length.
+    Short documents (< w full windows) contribute the minimum over all
+    their grams so nothing is silently dropped. Returns distinct
+    (id, fingerprint) rows."""
+    from pyspark.sql import Window
+
+    from spark_frontier.analytics.dedup import md5_hash60
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    t = F.col("_t")
+    # positional k-grams (duplicates kept — winnowing is positional, so
+    # _char_ngrams's array_distinct form does not apply here)
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1))),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+    grams = (
+        docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
+        # exchange barrier: keeps Catalyst from inlining the normalize
+        # regexp into the per-character substr lambda (see _char_ngrams)
+        .repartition(par)
+        .select(F.col(id_col), F.posexplode(grams_arr).alias("pos", "gram"))
+    )
+    gh = grams.select(
+        id_col, "pos", md5_hash60(F.col("gram")).alias("gh")
+    )
+    wspec = (
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    per_doc = Window.partitionBy(id_col)
+    sel = gh.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min("gh").over(wspec).alias("fingerprint"),
+        F.count("*").over(per_doc).alias("n_grams"),
+    ).filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+    return sel.select(id_col, "fingerprint").distinct()

@@ -294,6 +294,51 @@ def test_pq_adc_matches_numpy_and_persisted_index(spark, tmp_path_factory):
     ]
 
 
+def test_winnow_fingerprints_replay_and_guarantee(spark):
+    """Winnowing: (a) the Spark window pipeline reproduces an independent
+    hashlib replay exactly (per-doc fingerprint sets); (b) the MOSS
+    guarantee holds — documents sharing a substring of length ≥ w+k-1
+    share at least one fingerprint; (c) a document shorter than one full
+    window still yields its all-grams minimum (nothing dropped)."""
+    import hashlib
+
+    from spark_frontier.analytics.textstats import winnow_fingerprints
+
+    k, w = 5, 8
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (1, f"AAA {shared} tail one"),
+        (2, f"completely different prefix {shared}"),
+        (3, "unrelated text about market prices and rates"),
+        (4, "tiny"),  # shorter than k: one gram, one fingerprint
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    def replay(text):
+        import re
+
+        t = re.sub(r"\s+", " ", text.strip().lower())
+        n_pos = max(len(t) - k + 1, 1)
+        ghs = [
+            int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:15], 16)
+            for i in range(n_pos)
+        ]
+        out = set()
+        for i in range(max(n_pos - w, 0) + 1):
+            out.add(min(ghs[i:i + w]))
+        return out
+
+    for doc_id, text in docs:
+        assert got[doc_id] == replay(text), doc_id
+
+    assert got[1] & got[2]          # shared 43-char substring ≥ w+k-1
+    assert not (got[3] & got[1])    # disjoint content, disjoint prints
+    assert len(got[4]) == 1
+
+
 def test_dedup_clusters_connected_components(spark):
     """Min-label propagation == brute-force union-find on a graph with a
     chain (transitivity across hops), a clique, isolated vertices, and a
