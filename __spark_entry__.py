@@ -616,6 +616,32 @@ def q31_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(pq_encode(corpus, books), books, qvec, k=10)
 
 
+def q33_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the composed FAISS-standard shape): coarse k-means
+    centroids prune which posting lists a probe reads; residual PQ
+    codebooks compress what they store (m ints/vector). ADC scores the
+    probed lists with per-centroid literal lookup tables in one CASE
+    expression — no Python, no float vectors at scan time. Oracle:
+    _q33_oracle chains _q29's Lloyd unroll (coarse, 2 iters) with
+    _q31's per-subspace unroll over the RESIDUAL vectors."""
+    from spark_frontier.analytics.similarity import (
+        ivfpq_encode,
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+        "embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents, books, resid = ivfpq_fit(
+        corpus, n_centroids=8, ivf_iter=2, m=4, n_codes=8, pq_iter=2
+    )
+    return ivfpq_topk(
+        ivfpq_encode(resid, books), cents, books, qvec, k=10, n_probe=3
+    )
+
+
 def q32_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al., MOSS): rolling k-gram
     hashes, per-window minimum selection — the partial-overlap dedup
@@ -682,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_dedup_clusters": q30_dedup_clusters,
         "q31_ann_pq": q31_ann_pq,
         "q32_winnow_fingerprints": q32_winnow_fingerprints,
+        "q33_ann_ivfpq": q33_ann_ivfpq,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -995,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "q23_ann_lsh": _q23_oracle(),
         "q29_ann_ivf": _q29_oracle(),
         "q31_ann_pq": _q31_oracle(),
+        "q33_ann_ivfpq": _q33_oracle(),
         "q32_winnow_fingerprints": f"""
             WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
             grams AS (
@@ -1345,6 +1373,108 @@ def _q31_oracle() -> str:
         {','.join(per_sub)}
         SELECT vec_id, round({total}, 4) AS adc_d2
         FROM d_0 {joins}
+        ORDER BY {total} ASC, vec_id
+        LIMIT 10
+    """
+
+
+def _q33_oracle() -> str:
+    """DuckDB twin of q33: chains the q29 Lloyd unroll (coarse IVF, 2
+    iterations, 8 centroids) with the q31 per-subspace unroll trained on
+    RESIDUAL vectors (v − final centroid), then scores the 3 probed
+    posting lists by reconstruction ADC: per subspace,
+    (q_sub − centroid_sub − codebook_sub)², summed."""
+    n_cent, m, n_codes, dim = 8, 4, 8, 64
+    sub = dim // m
+
+    def assign(prev: str, corpus: str) -> str:
+        return f"""
+          SELECT vec_id, sv, code FROM (
+            SELECT e.vec_id, e.sv, c.code,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_sum(list_transform(
+                                list_zip(e.sv, c.sv),
+                                x -> (x[1] - x[2])^2)),
+                              c.code) AS rk
+            FROM {corpus} e CROSS JOIN {prev} c) WHERE rk = 1"""
+
+    def update(a: str, prev: str, ndim: int) -> str:
+        return f"""
+          SELECT p.code, COALESCE(u.sv, p.sv) AS sv
+          FROM {prev} p LEFT JOIN (
+            SELECT code, list(s / n ORDER BY dim) AS sv FROM (
+              SELECT code, t.i AS dim, SUM(sv[t.i]) AS s, COUNT(*) AS n
+              FROM {a}, range(1, {ndim + 1}) t(i)
+              GROUP BY code, t.i)
+            GROUP BY code) u USING (code)"""
+
+    per_sub = []
+    d_terms = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        per_sub.append(f"""
+        rs{s} AS (SELECT vec_id, rv[{lo}:{hi}] AS sv FROM resid),
+        pc0_{s} AS (SELECT p.code, r.rv[{lo}:{hi}] AS sv
+                    FROM prank p JOIN resid r USING (vec_id)),
+        pa1_{s} AS ({assign(f'pc0_{s}', f'rs{s}')}),
+        pc1_{s} AS ({update(f'pa1_{s}', f'pc0_{s}', sub)}),
+        pa2_{s} AS ({assign(f'pc1_{s}', f'rs{s}')}),
+        pc2_{s} AS ({update(f'pa2_{s}', f'pc1_{s}', sub)}),
+        penc_{s} AS ({assign(f'pc2_{s}', f'rs{s}')}),
+        pd_{s} AS (
+            SELECT e.vec_id,
+                   list_sum(list_transform(
+                       list_zip(q.qv[{lo}:{hi}], cv.sv[{lo}:{hi}], b.sv),
+                       x -> (x[1] - x[2] - x[3])^2)) AS d2
+            FROM penc_{s} e
+            JOIN pc2_{s} b USING (code)
+            JOIN resid r ON r.vec_id = e.vec_id
+            JOIN c2 cv ON cv.code = r.centroid, q)""")
+        d_terms.append(f"pd_{s}.d2")
+
+    joins = " ".join(f"JOIN pd_{s} USING (vec_id)" for s in range(1, m))
+    total = " + ".join(d_terms)
+    rank = ("ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),"
+            " vec_id)")
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS sv
+            FROM embeddings WHERE vec_id <> 0),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        c0 AS (
+            SELECT {rank} - 1 AS code, sv
+            FROM corpus
+            QUALIFY {rank} <= {n_cent}),
+        a1 AS ({assign('c0', 'corpus')}),
+        c1 AS ({update('a1', 'c0', dim)}),
+        a2 AS ({assign('c1', 'corpus')}),
+        c2 AS ({update('a2', 'c1', dim)}),
+        afin AS ({assign('c2', 'corpus')}),
+        resid AS (
+            SELECT a.vec_id, a.code AS centroid,
+                   list_transform(list_zip(a.sv, c.sv),
+                                  x -> x[1] - x[2]) AS rv
+            FROM afin a JOIN c2 c USING (code)),
+        prank AS (
+            SELECT vec_id, {rank} - 1 AS code
+            FROM corpus
+            QUALIFY {rank} <= {n_codes}),
+        probe AS (
+            SELECT code AS centroid FROM (
+                SELECT c.code,
+                       ROW_NUMBER() OVER (
+                         ORDER BY list_sum(list_transform(
+                                    list_zip(c.sv, q.qv),
+                                    x -> (x[1] - x[2])^2)),
+                                  c.code) AS rk
+                FROM c2 c, q) WHERE rk <= 3),
+        {','.join(per_sub)}
+        SELECT vec_id, round({total}, 4) AS adc_d2
+        FROM pd_0 {joins}
+        JOIN resid r USING (vec_id)
+        WHERE r.centroid IN (SELECT centroid FROM probe)
         ORDER BY {total} ASC, vec_id
         LIMIT 10
     """

@@ -458,3 +458,159 @@ def pq_query(
     tbl = store.table(table)
     books = np.array(tbl.summary()["codebooks"], dtype=np.float64)
     return pq_adc_topk(tbl.read(spark), books, query, k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed FAISS-standard shape: IVF prunes which posting
+# lists a probe reads (partition pruning), residual PQ compresses what the
+# lists store (m ints/vector). Codebooks train on RESIDUALS (v − centroid),
+# which carry far less variance than raw vectors, so the same code budget
+# quantizes much finer — the reason FAISS composes them this way.
+
+
+def ivfpq_fit(
+    embeddings: DataFrame, n_centroids: int = 8, ivf_iter: int = 2,
+    m: int = 4, n_codes: int = 8, pq_iter: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Train both quantizers: coarse IVF centroids via ``kmeans_fit``,
+    then PQ codebooks via ``pq_fit`` over the residual vectors (one
+    vectorized UDF computes assignment + residual together; the residual
+    frame is materialized once so the PQ iterations don't re-run it).
+    Returns (centroids, codebooks, residuals_df) — residuals keep
+    (id, centroid, rvec) for the encode pass."""
+    from spark_frontier.storage.materialize import materialize
+
+    cents = kmeans_fit(embeddings, n_centroids=n_centroids, n_iter=ivf_iter,
+                       vec_col=vec_col, id_col=id_col)
+    resid = materialize(
+        _residuals(embeddings, cents, vec_col=vec_col, id_col=id_col)
+    )
+    books = pq_fit(resid, m=m, n_codes=n_codes, n_iter=pq_iter,
+                   vec_col="rvec", id_col=id_col)
+    return cents, books, resid
+
+
+def _residuals(
+    embeddings: DataFrame, centroids, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid, rvec = v − nearest centroid), one vectorized UDF."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(StructType([
+        StructField("centroid", IntegerType()),
+        StructField("rvec", ArrayType(DoubleType())),
+    ]))
+    def _res(vecs: pd.Series) -> pd.DataFrame:
+        mtx = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((mtx[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        rv = mtx - c[a]
+        return pd.DataFrame({
+            "centroid": a.astype("int32"), "rvec": list(rv)
+        })
+
+    r = embeddings.select(F.col(id_col), _res(F.col(vec_col)).alias("_r"))
+    return r.select(id_col, F.col("_r.centroid").alias("centroid"),
+                    F.col("_r.rvec").alias("rvec"))
+
+
+def ivfpq_encode(
+    resid: DataFrame, codebooks, id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid, codes) — the complete IVF-PQ index rows."""
+    return resid.select(
+        F.col(id_col), F.col("centroid"),
+        _pq_codes_udf(codebooks)(F.col("rvec")).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    index_df: DataFrame, centroids, codebooks, query: list[float],
+    k: int = 10, n_probe: int = 3, id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC over the probed posting lists only. The per-centroid lookup
+    tables (distance from the query to centroid + code reconstruction,
+    per subspace) are inlined as one CASE-over-centroid expression, so
+    scoring stays a single whole-stage-codegen'd scan of the pruned
+    partitions — no Python, no float vectors, no join."""
+    c = np.asarray(centroids, dtype=np.float64)
+    b = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = b.shape
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((c - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    probe = [int(x) for x in order[:n_probe]]
+    branches = []
+    for cid in probe:
+        terms = []
+        for s in range(m):
+            # reconstruction = centroid_sub + code_sub; LUT = ||q_sub − r||²
+            recon = c[cid][s * sub:(s + 1) * sub][None, :] + b[s]
+            lut = ((recon - q[s * sub:(s + 1) * sub][None, :]) ** 2).sum(
+                axis=1)
+            vals = ",".join(repr(float(x)) for x in lut)
+            terms.append(
+                f"element_at(cast(array({vals}) as array<double>),"
+                f" element_at(codes, {s + 1}) + 1)"
+            )
+        branches.append(f"WHEN {cid} THEN {' + '.join(terms)}")
+    adc = F.expr(f"CASE centroid {' '.join(branches)} END")
+    return (
+        index_df.filter(F.col("centroid").isin(probe))
+        .select(F.col(id_col), adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_adc", 4).alias("adc_d2"))
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame, store, table: str = "ivfpq_index",
+    n_centroids: int = 8, ivf_iter: int = 2, m: int = 4, n_codes: int = 8,
+    pq_iter: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Persist (id, centroid, codes) partitioned by centroid — a probe is
+    a partition-pruned read of m ints/vector; centroids + codebooks ride
+    in the snapshot summary."""
+    cents, books, resid = ivfpq_fit(
+        embeddings, n_centroids=n_centroids, ivf_iter=ivf_iter, m=m,
+        n_codes=n_codes, pq_iter=pq_iter, vec_col=vec_col, id_col=id_col,
+    )
+    codes = (
+        ivfpq_encode(resid, books, id_col=id_col)
+        .repartition("centroid").sortWithinPartitions("centroid")
+    )
+    store.table(table).overwrite(
+        codes,
+        summary={
+            "op": "ivfpq_index", "n_centroids": n_centroids, "m": m,
+            "n_codes": n_codes,
+            "centroids": [[float(x) for x in row] for row in cents],
+            "codebooks": [[[float(x) for x in row] for row in book]
+                          for book in books],
+        },
+    )
+    return cents, books
+
+
+def ivfpq_query(
+    spark, store, query: list[float], k: int = 10, n_probe: int = 3,
+    table: str = "ivfpq_index", id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the PERSISTED IVF-PQ index."""
+    tbl = store.table(table)
+    meta = tbl.summary()
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    return ivfpq_topk(tbl.read(spark), cents, books, query, k=k,
+                      n_probe=n_probe, id_col=id_col)

@@ -294,6 +294,78 @@ def test_pq_adc_matches_numpy_and_persisted_index(spark, tmp_path_factory):
     ]
 
 
+def test_ivfpq_matches_numpy_and_persisted_index(spark, tmp_path_factory):
+    """IVF-PQ (residual PQ over k-means posting lists): the Spark probe
+    reproduces an independent numpy replay of assign → residual → encode →
+    reconstruction-ADC exactly; training is deterministic; the persisted
+    centroid-partitioned index returns the same rows as the scan path."""
+    from spark_frontier.analytics.similarity import (
+        build_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_fit,
+        ivfpq_query,
+        ivfpq_topk,
+    )
+    from spark_frontier.storage import SnapStore
+
+    rng = np.random.default_rng(13)
+    dim, per = 16, 30
+    centers = rng.standard_normal((8, dim)) * 4.0
+    vecs = np.concatenate(
+        [centers[c] + rng.standard_normal((per, dim)) * 0.4 for c in range(8)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    q = [float(x) for x in (centers[2] + 0.1 * rng.standard_normal(dim))]
+
+    cents, books, resid = ivfpq_fit(
+        df, n_centroids=8, ivf_iter=2, m=4, n_codes=8, pq_iter=2
+    )
+    cents2, books2, _ = ivfpq_fit(
+        df, n_centroids=8, ivf_iter=2, m=4, n_codes=8, pq_iter=2
+    )
+    assert np.array_equal(cents, cents2) and np.array_equal(books, books2)
+
+    got = ivfpq_topk(
+        ivfpq_encode(resid, books), cents, books, q, k=10, n_probe=3
+    ).collect()
+
+    # independent numpy replay with the fitted quantizers
+    m, n_codes, sub = books.shape
+    qv = np.asarray(q)
+    a = ((v32[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    rv = v32 - cents[a]
+    probe = set(
+        np.argsort(((cents - qv[None, :]) ** 2).sum(axis=1),
+                   kind="stable")[:3].tolist()
+    )
+    adc = np.zeros(len(v32))
+    for s in range(m):
+        seg = rv[:, s * sub:(s + 1) * sub]
+        codes = ((seg[:, None, :] - books[s][None, :, :]) ** 2).sum(
+            axis=2).argmin(axis=1)
+        recon = cents[a][:, s * sub:(s + 1) * sub] + books[s][codes]
+        adc += ((recon - qv[s * sub:(s + 1) * sub][None, :]) ** 2).sum(axis=1)
+    eligible = [i for i in range(len(v32)) if a[i] in probe]
+    want = sorted(eligible, key=lambda i: (adc[i], i))[:10]
+    assert [r["vec_id"] for r in got] == want
+    for r in got:
+        assert abs(r["adc_d2"] - adc[r["vec_id"]]) < 1e-3
+    # residual quantization resolves the query's cluster
+    assert all(60 <= r["vec_id"] < 90 for r in got)
+
+    store = SnapStore(str(tmp_path_factory.mktemp("ivfpq")))
+    build_ivfpq_index(df, store, n_centroids=8, ivf_iter=2, m=4,
+                      n_codes=8, pq_iter=2)
+    persisted = ivfpq_query(spark, store, q, k=10, n_probe=3).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in persisted] == [
+        (r["vec_id"], r["adc_d2"]) for r in got
+    ]
+
+
 def test_winnow_fingerprints_replay_and_guarantee(spark):
     """Winnowing: (a) the Spark window pipeline reproduces an independent
     hashlib replay exactly (per-doc fingerprint sets); (b) the MOSS
