@@ -56,6 +56,8 @@ HEADLINE = [
     "q29_ann_ivf",
     "q30_dedup_clusters",
     "q31_ann_pq",
+    "q32_winnow_fingerprints",
+    "q33_ann_ivfpq",
 ]
 
 
