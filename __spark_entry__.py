@@ -654,6 +654,24 @@ def q32_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=5, w=8)
 
 
+_Q34_QUOTAS = {f"src{i}": (12 if i % 2 == 0 else 6) for i in range(20)}
+_Q34_FRAC = 0.75
+
+
+def q34_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (the pretraining data-mix step):
+    per-source quotas selected in md5-hash order (a reproducible
+    shuffle), composed with a rate-based hash_sample — selection derives
+    purely from the id hash, so a rerun or another engine picks the
+    identical rows (unlike df.sample). One group-key shuffle for the
+    quota window; the rate filter is shuffle-free."""
+    from spark_frontier.analytics.sampling import hash_sample, stratified_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = stratified_mix(docs, _Q34_QUOTAS, group_col="source")
+    return hash_sample(mixed, _Q34_FRAC).select("doc_id", "source")
+
+
 def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth input_hint table → decode → channel stats
     (no driver images table, so the input is generated deterministically)."""
@@ -709,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_ann_pq": q31_ann_pq,
         "q32_winnow_fingerprints": q32_winnow_fingerprints,
         "q33_ann_ivfpq": q33_ann_ivfpq,
+        "q34_corpus_mix": q34_corpus_mix,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1023,6 +1042,20 @@ def oracle_sql() -> dict[str, str]:
         "q29_ann_ivf": _q29_oracle(),
         "q31_ann_pq": _q31_oracle(),
         "q33_ann_ivfpq": _q33_oracle(),
+        "q34_corpus_mix": f"""
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS rk
+                FROM documents)
+            WHERE rk <= CASE source {' '.join(
+                f"WHEN '{k}' THEN {v}" for k, v in sorted(_Q34_QUOTAS.items())
+            )} ELSE 0 END
+              AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) < {int(_Q34_FRAC * (1 << 60))}
+        """,
         "q32_winnow_fingerprints": f"""
             WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
             grams AS (

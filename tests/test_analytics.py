@@ -411,6 +411,41 @@ def test_winnow_fingerprints_replay_and_guarantee(spark):
     assert len(got[4]) == 1
 
 
+def test_sampling_deterministic_and_replayable(spark):
+    """hash_sample/stratified_mix: quotas are honored, selection matches
+    an independent hashlib replay, and hash_sample composes with itself
+    (f1 then f2 == min(f1, f2) — same hash compared both times)."""
+    import hashlib
+
+    from spark_frontier.analytics.sampling import (
+        HASH_SPACE,
+        hash_sample,
+        stratified_mix,
+    )
+
+    rows = [(i, f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    quotas = {"g0": 5, "g1": 10}  # g2 absent -> default 0
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in stratified_mix(df, quotas, group_col="source").collect()
+    )
+    want = []
+    for g, q in quotas.items():
+        members = sorted((i for i, s in rows if s == g), key=lambda i: (h(i), i))
+        want += [(i, g) for i in members[:q]]
+    assert got == sorted(want)
+
+    s1 = {r["doc_id"] for r in hash_sample(df, 0.5).collect()}
+    assert s1 == {i for i, _ in rows if h(i) < int(0.5 * HASH_SPACE)}
+    s2 = {r["doc_id"] for r in hash_sample(hash_sample(df, 0.8), 0.5).collect()}
+    assert s2 == s1
+
+
 def test_dedup_clusters_connected_components(spark):
     """Min-label propagation == brute-force union-find on a graph with a
     chain (transitivity across hops), a clique, isolated vertices, and a
