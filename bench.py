@@ -58,6 +58,7 @@ HEADLINE = [
     "q31_ann_pq",
     "q32_winnow_fingerprints",
     "q33_ann_ivfpq",
+    "q34_corpus_mix",
 ]
 
 
