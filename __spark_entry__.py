@@ -690,6 +690,121 @@ def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup over the input_hint table: decode the binary
+    payload → recompute the 64-bit perceptual hash (payload/validate.py's
+    phash_column, Arrow batches) → chunk-banded Hamming self-join
+    (dedup.hamming_neardup_pairs, 8×8-bit bands ⇒ exact for distance
+    ≤ 7). This is the image-payload twin of q22's text simhash: the
+    oracle carries the deterministic decoded phashes as literals (q23's
+    plane-matrix pattern), so a hash match proves BOTH the decode+phash
+    path and the banding topology."""
+    from spark_frontier.analytics.dedup import hamming_neardup_pairs
+    from spark_frontier.payload.validate import phash_column
+    from spark_frontier.pipeline.synth import gen_image_corpus
+
+    pdf = gen_image_corpus(24, 2)
+    images = spark.createDataFrame(pdf[["image_id", "bytes"]])
+    ph = images.select(
+        "image_id", phash_column(F.col("bytes")).alias("phash")
+    )
+    return hamming_neardup_pairs(
+        ph, id_col="image_id", hash_col="phash", max_hamming=6, n_chunks=8
+    )
+
+
+def q36_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph crawl priority: 3-iteration PageRank over a 256-node
+    page graph derived deterministically from events (src = event_id mod
+    256, dst = a fixed affine hash). The oracle unrolls the identical
+    recurrence as chained CTEs (the q29 Lloyd-unroll pattern)."""
+    from spark_frontier.analytics.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % 256).alias("src"),
+        ((F.col("event_id") * 7 + F.col("user_id") * 13) % 256).alias("dst"),
+    )
+    ranks = pagerank(edges, n_iter=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h gap) of the event log — the
+    log→per-session-document step of a training-data pipeline and the
+    per-host visit-session rollup of crawl_logs. One window sort +
+    one groupBy per user key."""
+    from spark_frontier.analytics.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, gap_s=6 * 3600.0)
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "session_start",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+_Q38_REF_TS = "2024-02-15 00:00:00"
+
+
+def q38_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling: Cho & Garcia-Molina change-rate estimation
+    (frontier/recrawl.py) over a per-URL observation history derived from
+    events (url = event_id mod 64, changed = value > 60). Priority =
+    P(page changed since last fetch) under the fitted Poisson rate."""
+    from datetime import datetime
+
+    from spark_frontier.frontier.recrawl import change_rate_priority
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("page-"), (F.col("event_id") % 64).cast("string")
+                 ).alias("url"),
+        "ts",
+        (F.col("value") > 60).alias("changed"),
+    )
+    out = change_rate_priority(
+        ev, datetime.fromisoformat(_Q38_REF_TS), min_obs=5
+    )
+    return out.select(
+        "url",
+        "n_obs",
+        "n_changed",
+        F.round("lambda_per_h", 6).alias("lambda_per_h"),
+        F.round("priority", 6).alias("priority"),
+    )
+
+
+def q39_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact latency percentiles (p50/p95/p99) — the SLO
+    rollup over fetch timings (A-family analytics). Spark's exact
+    ``percentile`` aggregate uses the same (n-1)·p linear interpolation
+    as DuckDB's quantile_cont, so values match bit-for-bit at 6 dp.
+    Scale note: exact percentile shuffles all values per group — the
+    design-point alternative (approx_percentile / t-digest) is noted in
+    the docstring rather than benched because the oracle gate needs
+    exact values."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q40_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice profiling: top-3 tf·idf terms per source
+    (textstats.tfidf_top_terms) — the vocabulary fingerprint used when
+    balancing a pretraining data mix (pairs with q34's quota sampler)."""
+    from spark_frontier.analytics.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3, group_col="source")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -728,6 +843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_winnow_fingerprints": q32_winnow_fingerprints,
         "q33_ann_ivfpq": q33_ann_ivfpq,
         "q34_corpus_mix": q34_corpus_mix,
+        "q35_phash_neardup": q35_phash_neardup,
+        "q36_pagerank_priority": q36_pagerank_priority,
+        "q37_sessionize": q37_sessionize,
+        "q38_recrawl_priority": q38_recrawl_priority,
+        "q39_latency_quantiles": q39_latency_quantiles,
+        "q40_tfidf_terms": q40_tfidf_terms,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1078,9 +1199,149 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fingerprint
             FROM sel WHERE pos <= greatest(n_grams - 8, 0)
         """,
+        "q35_phash_neardup": _q35_oracle(),
+        "q36_pagerank_priority": _q36_oracle(),
+        "q37_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 21600000000 THEN 1
+                            ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS INT) AS session_seq
+                FROM g)
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(ts) AS session_start,
+                   round((epoch_us(max(ts)) - epoch_us(min(ts)))
+                         / 1000000.0, 6) AS duration_s
+            FROM s GROUP BY 1, 2
+        """,
+        "q38_recrawl_priority": f"""
+            -- Cho & Garcia-Molina: lam = -ln((n-X+0.5)/(n+0.5)) / gap_h,
+            -- priority = 1 - exp(-lam * age_h); arithmetic order mirrors
+            -- frontier/recrawl.py exactly
+            WITH o AS (
+                SELECT 'page-' || CAST(event_id % 64 AS VARCHAR) AS url,
+                       ts, (value > 60) AS changed
+                FROM events),
+            a AS (
+                SELECT url, count(*) AS n_obs,
+                       CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_changed,
+                       min(ts) AS first_ts, max(ts) AS last_ts
+                FROM o GROUP BY url
+                HAVING count(*) >= 5 AND max(ts) > min(ts)),
+            c AS (
+                SELECT url, n_obs, n_changed,
+                       ((epoch_us(last_ts) - epoch_us(first_ts))
+                        / 3600000000.0) / (n_obs - 1) AS gap_h,
+                       (epoch_us(TIMESTAMP '{_Q38_REF_TS}')
+                        - epoch_us(last_ts)) / 3600000000.0 AS age_h
+                FROM a),
+            l AS (
+                SELECT url, n_obs, n_changed, age_h,
+                       -ln((n_obs - n_changed + 0.5) / (n_obs + 0.5))
+                           / gap_h AS lam
+                FROM c)
+            SELECT url, n_obs, n_changed,
+                   round(lam, 6) AS lambda_per_h,
+                   round(1.0 - exp(-lam * age_h), 6) AS priority
+            FROM l
+        """,
+        "q39_latency_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q40_tfidf_terms": f"""
+            WITH terms AS (
+                SELECT source AS grp, unnest({_TOKENS}) AS term
+                FROM documents),
+            tf AS (SELECT grp, term, count(*) AS tf
+                   FROM terms GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            ng AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS s
+                   FROM documents),
+            scored AS (
+                SELECT grp, term, tf,
+                       tf * ln((SELECT s FROM ng) / df) AS score
+                FROM tf JOIN df USING (term)),
+            r AS (SELECT grp, term, tf, score,
+                         ROW_NUMBER() OVER (PARTITION BY grp
+                             ORDER BY score DESC, term) AS rk
+                  FROM scored)
+            SELECT grp AS source, term, tf, round(score, 6) AS score,
+                   CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 3
+        """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible
     }
+
+
+def _q35_oracle() -> str:
+    """DuckDB twin of q35: the deterministic decoded phashes ride as
+    literals (q23's plane-matrix pattern — both sides are pinned to the
+    same seeded corpus), so the hash match proves the Spark decode +
+    phash UDF AND the banded join against a plain exact Hamming
+    self-join."""
+    from spark_frontier.payload.codec import decode_image, phash64
+    from spark_frontier.pipeline.synth import gen_image_corpus
+
+    pdf = gen_image_corpus(24, 2)
+    vals = ",\n            ".join(
+        f"('{r.image_id}', CAST({phash64(decode_image(r.bytes))} AS BIGINT))"
+        for r in pdf.itertuples()
+    )
+    return f"""
+        WITH ph AS (
+            SELECT * FROM (VALUES
+            {vals}) AS t(image_id, phash)),
+        p AS (
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM ph a JOIN ph b ON a.image_id < b.image_id)
+        SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
+    """
+
+
+def _q36_oracle() -> str:
+    """DuckDB twin of q36: the 3 PageRank iterations unrolled as chained
+    CTEs (the _q29_oracle Lloyd-unroll pattern); arithmetic order mirrors
+    analytics/graph.pagerank term for term."""
+    it = """
+        r{k} AS (
+            SELECT v.node,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * COALESCE(s.s, 0.0) AS rank
+            FROM v LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.rank / od.outdeg) AS s
+                FROM e JOIN r{p} r ON r.node = e.src
+                       JOIN od ON od.src = e.src
+                GROUP BY e.dst) s USING (node))"""
+    unroll = ",".join(it.format(k=k, p=k - 1) for k in (1, 2, 3))
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT event_id % 256 AS src,
+                   (event_id * 7 + user_id * 13) % 256 AS dst
+            FROM events
+            WHERE event_id % 256 <> (event_id * 7 + user_id * 13) % 256),
+        v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM v),
+        {unroll}
+        SELECT node, round(rank, 9) AS rank FROM r3
+    """
 
 
 def _q25_oracle() -> str:

@@ -59,6 +59,11 @@ HEADLINE = [
     "q32_winnow_fingerprints",
     "q33_ann_ivfpq",
     "q34_corpus_mix",
+    "q35_phash_neardup",
+    "q36_pagerank_priority",
+    "q37_sessionize",
+    "q38_recrawl_priority",
+    "q40_tfidf_terms",
 ]
 
 

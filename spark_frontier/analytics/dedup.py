@@ -373,6 +373,71 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# generic 64-bit hamming banding (phash image near-dup)
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column (perceptual
+    phash for images, simhash for text) via chunk-banded self-join.
+
+    Pigeonhole guarantee: hamming ≤ n_chunks - 1 ⇒ at least one
+    64/n_chunks-bit chunk is equal, so with the default 8×8-bit chunks
+    every pair at distance ≤ 7 is found exactly (max_hamming must stay
+    ≤ n_chunks - 1 for exactness; asserted).
+
+    Scale: candidates come only from same-chunk buckets — cost tracks
+    true near-dup density, never O(n²). The join shuffles on
+    (chunk_idx, chunk_val); the exact bit_count(xor) verify is JVM-side
+    whole-stage codegen. Same topology as simhash_pairs but over a
+    caller-supplied fingerprint, so the image pipeline reuses it on the
+    phash column that payload/validate.py recomputes from decoded
+    pixels.
+    """
+    assert max_hamming <= n_chunks - 1, "pigeonhole exactness bound"
+    assert 64 % n_chunks == 0
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        h.alias("fp"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(h, i * width).bitwiseAND(F.lit(mask))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), on=["chunk_idx", "chunk_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 
 

@@ -152,3 +152,53 @@ def winnow_fingerprints(docs, k: int = 5, w: int = 8,
         F.count("*").over(per_doc).alias("n_grams"),
     ).filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
     return sel.select(id_col, "fingerprint").distinct()
+
+
+def tfidf_top_terms(
+    docs,
+    k: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Top-k characteristic terms per corpus slice (tf·idf with the
+    slice as the "document"): the standard corpus-profiling step when
+    assembling a training-data mix — which vocabulary distinguishes each
+    source. idf = ln(S / df) over S slices; ties break on term ASC so
+    the ranking is fully deterministic and DuckDB-replayable.
+
+    Scale: explode → two hash aggregations (term×slice tf, then term df)
+    + one broadcast-size join (df table is |vocab| rows after the agg)
+    + a per-slice top-k window over |vocab-per-slice| rows. The raw text
+    leaves the plan at the explode; everything downstream carries terms
+    and counts only."""
+    from pyspark.sql import Window
+
+    n_groups = docs.select(group_col).distinct().count()
+    terms = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").select(
+        "grp",
+        "term",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "tf",
+            F.round("score", 6).alias("score"),
+            "rk",
+        )
+    )

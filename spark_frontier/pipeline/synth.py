@@ -58,6 +58,46 @@ def gen_images(n: int, w: int = 32, h: int = 24) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_image_corpus(
+    n_base: int = 24, n_var: int = 2, w: int = 32, h: int = 24
+) -> pd.DataFrame:
+    """Near-dup image corpus for the phash dedup operator: ``n_base``
+    mutually-distant random bases (phash hamming ~32 apart) each with
+    ``n_var`` lightly-perturbed variants (one small block re-noised →
+    hamming ≤ ~6). Deterministic: seeded rng per base, so the decoded
+    phashes are stable and the q35 DuckDB oracle can carry them as
+    literals (the q23 plane-matrix pattern)."""
+    fmts = ["png", "jpeg", "webp"]
+    rows = []
+    for i in range(n_base):
+        rng = np.random.default_rng(1000 + i)
+        base = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        group = [base]
+        for v in range(n_var):
+            pert = base.copy()
+            ys, xs = (v * 7) % (h - 4), (v * 11) % (w - 4)
+            block = pert[ys:ys + 4, xs:xs + 4].astype(np.int16)
+            pert[ys:ys + 4, xs:xs + 4] = np.clip(
+                block + rng.integers(-20, 21, block.shape), 0, 255
+            ).astype(np.uint8)
+            group.append(pert)
+        for gi, px in enumerate(group):
+            idx = i * (n_var + 1) + gi
+            fmt = fmts[idx % 3]
+            rows.append(
+                {
+                    "image_id": f"img-{idx:04d}",
+                    "bytes": encode_image(px, fmt),
+                    "w": np.int32(w),
+                    "h": np.int32(h),
+                    "fmt": fmt,
+                    "caption": caption_for(idx),
+                    "phash": np.int64(phash64(px)),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def gen_sites(n_sites: int = 8) -> pd.DataFrame:
     rows = []
     for i in range(n_sites):
