@@ -412,3 +412,87 @@ def test_stream_stale_bloom_nonblocking_single_scan(spark, world_dir,
     meta = store.table("bloom").summary()
     assert meta.get("covers_links") == store.table("links").snapshot_id
     assert meta.get("m_bits") and meta.get("n_segments")
+
+
+def test_windowed_metrics_watermark_drops_late(spark, tmp_path_factory):
+    """streaming/windows.py: event-time tumbling windows with a 30 min
+    watermark — a late-but-admitted row lands in its window, a
+    beyond-watermark row is dropped by the state store, and append mode
+    emits exactly the closed windows; the emitted rows equal the batch
+    aggregation over the admitted rows (stream==batch parity)."""
+    from datetime import datetime
+
+    from spark_frontier.streaming.windows import windowed_host_metrics
+
+    T = datetime.fromisoformat
+    src = str(tmp_path_factory.mktemp("win_src"))
+    ckpt = str(tmp_path_factory.mktemp("win_ckpt"))
+    batches = [
+        # batch 0: on-time rows; max event time 10:05
+        [("a.com", T("2024-01-01 10:00:00"), 200),
+         ("a.com", T("2024-01-01 10:05:00"), 500),
+         ("b.com", T("2024-01-01 10:02:00"), 200)],
+        # batch 1: 09:50 is late but within the 30 min watermark →
+        # admitted into its window; 11:00 advances event time
+        [("a.com", T("2024-01-01 09:50:00"), 200),
+         ("b.com", T("2024-01-01 11:00:00"), 404)],
+        # batch 2: runs under the watermark derived from batch 1
+        # (11:00 − 30 min = 10:30) — the 09:00 straggler is beyond it and
+        # is dropped by the state store; the same watermark closes every
+        # window ending ≤ 10:30 (append emits them this batch)
+        [("a.com", T("2024-01-01 09:00:00"), 200),
+         ("c.com", T("2024-01-01 11:06:00"), 200)],
+    ]
+    for k, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "host string, ts timestamp, status int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"f{k}")
+        )
+    stream = (
+        spark.readStream.schema("host string, ts timestamp, status int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        windowed_host_metrics(stream)
+        .writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the 09:00 straggler
+    got = {
+        (str(r["window_start"]), r["host"]):
+            (r["n_fetches"], r["n_failures"])
+        for r in spark.table("win_metrics").collect()
+    }
+    assert got == {
+        ("2024-01-01 09:50:00", "a.com"): (1, 0),
+        ("2024-01-01 10:00:00", "a.com"): (2, 1),
+        ("2024-01-01 10:00:00", "b.com"): (1, 0),
+    }
+    # stream == batch parity: same function on a batch frame over the
+    # admitted rows, restricted to the windows the watermark closed
+    admitted = [
+        r for b in batches for r in b if r[1] != T("2024-01-01 09:00:00")
+    ]
+    bdf = windowed_host_metrics(
+        spark.createDataFrame(
+            admitted, "host string, ts timestamp, status int"
+        )
+    ).filter(F.col("window_end") <= F.lit(T("2024-01-01 10:30:00")))
+    batch_rows = {
+        (str(r["window_start"]), r["host"]):
+            (r["n_fetches"], r["n_failures"])
+        for r in bdf.collect()
+    }
+    assert batch_rows == got
