@@ -206,6 +206,32 @@ class SnapTable:
             return None
         return spark.read.parquet(*files)
 
+    def read_at(self, spark: SparkSession, snapshot_id: str
+                ) -> DataFrame | None:
+        """Time-travel read (Iceberg's VERSION AS OF): any retained
+        snapshot's manifest still lists its immutable data files, so the
+        read is just that file list — no state reconstruction."""
+        files = self._manifest(snapshot_id).get("files", [])
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    def rollback(self, snapshot_id: str) -> str:
+        """Atomic HEAD swap back to an ancestor snapshot (Iceberg's
+        rollback_to_snapshot). The abandoned snapshots' manifests and
+        files stay on disk until retention cleanup, exactly like
+        Iceberg's unexpired snapshots."""
+        if snapshot_id not in {h["snapshot_id"] for h in self.history()}:
+            raise ValueError(
+                f"{snapshot_id} is not an ancestor of HEAD for "
+                f"{self.name}"
+            )
+        tmp = self._head_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snapshot_id)
+        os.replace(tmp, self._head_path)
+        return snapshot_id
+
     def exists(self) -> bool:
         return self.snapshot_id is not None
 

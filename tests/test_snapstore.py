@@ -1,6 +1,8 @@
 import json
 import os
 
+import pytest
+
 from spark_frontier.storage import SnapStore
 
 
@@ -57,3 +59,23 @@ def test_atomic_head_swap(spark, tmp_path):
     with open(fake, "w") as f:
         json.dump({"snapshot_id": "x", "files": ["/nope"], "summary": {}}, f)
     assert t.read(spark).count() == 2  # still the committed snapshot
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    store = SnapStore(str(tmp_path / "wh"))
+    t = store.table("links")
+    s1 = t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    s2 = t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    assert t.read(spark).count() == 2
+    # VERSION AS OF: the first snapshot still reads its own file list
+    assert t.read_at(spark, s1).count() == 1
+    assert [r["id"] for r in t.read_at(spark, s1).collect()] == [1]
+    # rollback is an atomic HEAD swap to an ancestor
+    assert t.rollback(s1) == s1
+    assert t.snapshot_id == s1
+    assert t.read(spark).count() == 1
+    # the abandoned snapshot's files remain until retention cleanup
+    assert t.read_at(spark, s2).count() == 2
+    # non-ancestor ids are refused
+    with pytest.raises(ValueError):
+        t.rollback("not-a-snapshot")
