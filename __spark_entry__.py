@@ -704,7 +704,10 @@ def q35_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_frontier.pipeline.synth import gen_image_corpus
 
     pdf = gen_image_corpus(24, 2)
-    images = spark.createDataFrame(pdf[["image_id", "bytes"]])
+    # 72 demo rows: coalesce so the decode UDF spins a handful of Arrow
+    # workers instead of one per default-parallelism partition (at real
+    # scale the input arrives pre-partitioned and this line is moot)
+    images = spark.createDataFrame(pdf[["image_id", "bytes"]]).coalesce(4)
     ph = images.select(
         "image_id", phash_column(F.col("bytes")).alias("phash")
     )

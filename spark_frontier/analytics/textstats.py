@@ -173,12 +173,18 @@ def tfidf_top_terms(
     and counts only."""
     from pyspark.sql import Window
 
+    from spark_frontier.storage.materialize import materialize
+
     n_groups = docs.select(group_col).distinct().count()
     terms = docs.select(
         F.col(group_col).alias("grp"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    tf = terms.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    # tf fans out to BOTH the df aggregation and the scoring join —
+    # without an eager cut the scan+explode+agg subtree runs twice
+    tf = terms.groupBy("grp", "term").agg(
+        F.count("*").alias("tf")
+    ).transform(materialize)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(df, "term").select(
         "grp",
