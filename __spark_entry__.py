@@ -798,6 +798,37 @@ def q39_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q41_QUERY = "?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"
+
+
+def q41_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap gate (frontier/traps.py): structural URL heuristics —
+    repeated-segment mirrors, calendar traps, query-param explosions —
+    over a synthetic URL family derived from events that exercises every
+    flag. Pure JVM expression algebra; the oracle replays the identical
+    split/filter/distinct pipeline."""
+    from spark_frontier.frontier.traps import trap_flags
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("user_id") % 8).cast("string"),
+        F.lit(".example.com/"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("2023/05/17/2024/"))
+        .otherwise(F.lit("")),
+        F.repeat(F.lit("cat/"), (F.col("event_id") % 7).cast("int")),
+        F.lit("p"),
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(_Q41_QUERY))
+        .otherwise(F.lit("")),
+    )
+    out = trap_flags(ev.select("event_id", url.alias("url")))
+    return out.select(
+        "event_id", "depth", "n_dup_segs", "n_params", "n_year_segs",
+        "is_trap",
+    )
+
+
 def q40_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-slice profiling: top-3 tf·idf terms per source
     (textstats.tfidf_top_terms) — the vocabulary fingerprint used when
@@ -852,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_recrawl_priority": q38_recrawl_priority,
         "q39_latency_quantiles": q39_latency_quantiles,
         "q40_tfidf_terms": q40_tfidf_terms,
+        "q41_trap_detection": q41_trap_detection,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1285,6 +1317,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS source, term, tf, round(score, 6) AS score,
                    CAST(rk AS INT) AS rk
             FROM r WHERE rk <= 3
+        """,
+        "q41_trap_detection": f"""
+            WITH u AS (
+                SELECT event_id,
+                    'https://site' || CAST(user_id % 8 AS VARCHAR)
+                    || '.example.com/'
+                    || CASE WHEN event_id % 11 = 0
+                            THEN '2023/05/17/2024/' ELSE '' END
+                    || repeat('cat/', CAST(event_id % 7 AS INT))
+                    || 'p' || CAST(event_id AS VARCHAR)
+                    || CASE WHEN event_id % 13 = 0
+                            THEN '{_Q41_QUERY}' ELSE '' END AS url
+                FROM events),
+            f AS (
+                SELECT event_id, url,
+                    list_filter(string_split(split_part(
+                        regexp_replace(url, '^https?://[^/]*', ''),
+                        '?', 1), '/'), s -> s <> '') AS segs,
+                    CASE WHEN contains(url, '?')
+                         THEN split_part(url, '?', 2) ELSE '' END AS query
+                FROM u),
+            g AS (
+                SELECT event_id,
+                    CAST(len(segs) AS INT) AS depth,
+                    CAST(len(segs) - len(list_distinct(segs)) AS INT)
+                        AS n_dup_segs,
+                    CASE WHEN query = '' THEN 0
+                         ELSE CAST(len(string_split(query, '&')) AS INT)
+                         END AS n_params,
+                    CAST(len(list_filter(segs,
+                        s -> regexp_matches(s, '^(19|20)[0-9]{{2}}$')))
+                        AS INT) AS n_year_segs,
+                    length(url) > 512 AS long_url
+                FROM f)
+            SELECT event_id, depth, n_dup_segs, n_params, n_year_segs,
+                   (depth > 12 OR n_dup_segs >= 2 OR n_params > 8
+                    OR n_year_segs >= 2 OR long_url) AS is_trap
+            FROM g
         """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible

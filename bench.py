@@ -64,6 +64,7 @@ HEADLINE = [
     "q37_sessionize",
     "q38_recrawl_priority",
     "q40_tfidf_terms",
+    "q41_trap_detection",
 ]
 
 

@@ -183,3 +183,27 @@ def test_tfidf_top_terms_ranking(spark):
     assert all(len(v) == 2 for v in by_src.values())
     # determinism: ties broken by term asc
     assert s1[1]["term"] == "alpha"
+
+
+def test_trap_flags_structural_heuristics(spark):
+    from spark_frontier.frontier.traps import trap_flags
+
+    urls = [
+        (1, "https://a.com/news/p1"),                       # clean
+        (2, "https://a.com/a/b/a/b/a/p2"),                  # mirror trap
+        (3, "https://a.com/2023/05/17/2024/p3"),            # calendar trap
+        (4, "https://a.com/p4?" + "&".join(f"k{i}=1" for i in range(9))),
+        (5, "https://a.com/" + "/".join(f"d{i}" for i in range(13)) + "/p5"),
+        (6, "https://a.com/x/" + "y" * 600),                # long url
+    ]
+    df = spark.createDataFrame(urls, ["id", "url"])
+    got = {r["id"]: r.asDict() for r in trap_flags(df).collect()}
+    assert not got[1]["is_trap"]
+    assert got[2]["is_trap"] and got[2]["n_dup_segs"] == 3
+    assert got[3]["is_trap"] and got[3]["n_year_segs"] == 2
+    assert got[4]["is_trap"] and got[4]["n_params"] == 9
+    assert got[5]["is_trap"] and got[5]["depth"] == 14
+    assert got[6]["is_trap"] and got[6]["long_url"]
+    # clean row's flags are all benign
+    assert got[1]["depth"] == 2 and got[1]["n_dup_segs"] == 0
+    assert got[1]["n_params"] == 0 and got[1]["n_year_segs"] == 0
