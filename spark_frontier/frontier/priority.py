@@ -29,6 +29,7 @@ from spark_frontier.functions.urls import (
     url_key_canonical,
 )
 from spark_frontier.frontier.recency import url_pattern_ok
+from spark_frontier.frontier.traps import trap_ok
 
 PRIORITY_COLS = ["site_seq", "depth", "path", "sitemap_pos"]
 
@@ -47,6 +48,10 @@ def build_candidates(entries: DataFrame) -> DataFrame:
     return (
         entries.withColumnRenamed("loc", "url")
         .filter(url_pattern_ok(F.col("url")))
+        # structural spider-trap gate (frontier/traps.py): mirrors,
+        # calendar loops, param explosions — same staging rationale as
+        # the reject filter above
+        .filter(trap_ok(F.col("url")))
         .drop("changefreq", "priority", "news_publication_name", "parse_mode")
         .withColumn("canon_url", canonicalize_url(F.col("url")))
         .withColumn("url_key", url_key_canonical(F.col("canon_url")))

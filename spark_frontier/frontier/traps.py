@@ -21,6 +21,36 @@ from pyspark.sql import functions as F
 _YEAR_RE = r"^(19|20)[0-9]{2}$"
 
 
+def trap_ok(
+    url_col,
+    max_depth: int = 12,
+    max_dup_segs: int = 2,
+    max_params: int = 8,
+    max_len: int = 512,
+) -> Column:
+    """True when the URL trips none of the trap heuristics — the filter
+    form used on the discovery path (one predicate, no added columns;
+    same rules as ``trap_flags``)."""
+    url = url_col if isinstance(url_col, Column) else F.col(url_col)
+    path = F.substring_index(
+        F.regexp_replace(url, r"^https?://[^/]*", ""), "?", 1
+    )
+    query = F.when(
+        url.contains("?"), F.substring_index(url, "?", -1)
+    ).otherwise(F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    return ~(
+        (F.size(segs) > max_depth)
+        | (F.size(segs) - F.size(F.array_distinct(segs)) >= max_dup_segs)
+        | (n_params > max_params)
+        | (F.size(F.filter(segs, lambda s: s.rlike(_YEAR_RE))) >= 2)
+        | (F.length(url) > max_len)
+    )
+
+
 def trap_flags(
     df: DataFrame,
     url_col: str = "url",

@@ -207,3 +207,26 @@ def test_trap_flags_structural_heuristics(spark):
     # clean row's flags are all benign
     assert got[1]["depth"] == 2 and got[1]["n_dup_segs"] == 0
     assert got[1]["n_params"] == 0 and got[1]["n_year_segs"] == 0
+
+
+def test_build_candidates_trap_gate(spark):
+    """The structural trap gate is wired into the discovery path: a
+    mirror-trap URL is dropped by build_candidates, clean URLs pass."""
+    from spark_frontier.frontier.priority import build_candidates
+
+    entries = spark.createDataFrame(
+        [
+            ("https://a.com/news/p1",),
+            ("https://a.com/a/b/a/b/a/b/p2",),
+            ("https://a.com/2023/05/17/2024/p3",),
+        ],
+        ["loc"],
+    ).selectExpr(
+        "loc",
+        "CAST(NULL AS STRING) AS changefreq",
+        "CAST(NULL AS STRING) AS priority",
+        "CAST(NULL AS STRING) AS news_publication_name",
+        "CAST(NULL AS STRING) AS parse_mode",
+    )
+    got = [r["url"] for r in build_candidates(entries).collect()]
+    assert got == ["https://a.com/news/p1"]
