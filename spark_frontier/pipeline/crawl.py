@@ -663,8 +663,13 @@ def _run_cycle_inner(
             )
             _async(
                 store.table("fetch_log").append,
+                # fetch_partition = the salted politeness partition that
+                # executed the fetch (north_rule: per-partition fetch
+                # lineage) — evaluated before any downstream reshuffle
                 rows_full.select("url", "url_key", "host", "http_code",
-                                 "is_valid", "invalid_reason", "first_seen_at"),
+                                 "is_valid", "invalid_reason", "first_seen_at",
+                                 F.spark_partition_id()
+                                 .alias("fetch_partition")),
                 summary={"op": "fetch_lineage", "wave": wave, "rows": n_wave},
                 _lane="fetch_log",
             )

@@ -54,6 +54,10 @@ def test_cycle_end_to_end(spark, world, tmp_path_factory):
     # politeness: per-host deadline spacing ≥ 1/refill_rate (2 s default)
     logs = store.table("fetch_log").read(spark)
     assert logs is not None and logs.count() == report.scheduled
+    # per-partition fetch lineage (north_rule): every fetched row records
+    # the politeness partition that executed it
+    assert "fetch_partition" in logs.columns
+    assert logs.filter(F.col("fetch_partition").isNull()).count() == 0
 
     # lineage counters checkpointed per wave
     hist = store.table("links").history()
