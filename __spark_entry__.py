@@ -839,6 +839,53 @@ def q40_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3, group_col="source")
 
 
+def q42_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (analytics/pii.py). The documents table carries
+    no natural PII, so both engines append the SAME deterministic
+    synthetic PII — email always, phone on doc_id%3==0, IPv4 on
+    doc_id%4==1, card number on doc_id%5==2, all derived arithmetically
+    from doc_id (the q35/q23 oracle-literal pattern) — and the production
+    operator scrubs it. Per-class counts are over the pre-redaction text;
+    clean_text hash parity proves the redaction byte-for-byte."""
+    from spark_frontier.analytics.pii import pii_report
+
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"), F.lit(".example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" call 555-"), (did % 900 + 100).cast("string"),
+                     F.lit("-"), (did % 9000 + 1000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                     F.lit(".0."), ((did * 7) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 2,
+            F.concat(F.lit(" card 4111 1111 1111 "),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", aug.alias("text"))
+    return pii_report(d).select(
+        "doc_id", "n_email", "n_ccn", "n_phone", "n_ipv4", "clean_text"
+    )
+
+
+def q43_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (textstats.repetition_signals): word-level and bigram-level
+    repetition fractions per document — the cheap machine-text filter a
+    pretraining pipeline runs before anything smarter."""
+    from spark_frontier.analytics.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -884,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_latency_quantiles": q39_latency_quantiles,
         "q40_tfidf_terms": q40_tfidf_terms,
         "q41_trap_detection": q41_trap_detection,
+        "q42_pii_scrub": q42_pii_scrub,
+        "q43_repetition_signals": q43_repetition_signals,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -937,6 +986,48 @@ def _lang_score(lang: str) -> str:
     return (
         f"len(list_filter({_TOKENS}, x -> x IN ({_stop_list(lang)})))"
     )
+
+
+def _q42_oracle() -> str:
+    """PII scrub replay. Patterns come FROM the production module so the
+    oracle can never drift from the operator; they are written in the
+    Java-regex ∩ RE2 common subset (no lookaround/backreferences), and
+    DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics."""
+    from spark_frontier.analytics.pii import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(t, '{pats[n]}')) AS INT) AS n_{n}"
+        for n in ("email", "ccn", "phone", "ipv4")
+    )
+    clean = "t"
+    for _, pat, rep in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' call 555-'
+                             || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                             || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                        ELSE '' END
+                || CASE WHEN doc_id % 4 = 1
+                        THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 2
+                        THEN ' card 4111 1111 1111 '
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS t
+            FROM documents)
+        SELECT doc_id,
+               {counts},
+               {clean} AS clean_text
+        FROM aug
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1355,6 +1446,27 @@ def oracle_sql() -> dict[str, str]:
                    (depth > 12 OR n_dup_segs >= 2 OR n_params > 8
                     OR n_year_segs >= 2 OR long_url) AS is_trap
             FROM g
+        """,
+        "q42_pii_scrub": _q42_oracle(),
+        "q43_repetition_signals": f"""
+            WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            t AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS i
+                  FROM base),
+            bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                   FROM t a JOIN t b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            bgc AS (SELECT doc_id, bg, count(*) AS c
+                    FROM bg GROUP BY doc_id, bg),
+            agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                    FROM bgc GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(len(b.toks) AS INT) AS n_tokens,
+                   round(1.0 - CAST(len(list_distinct(b.toks)) AS DOUBLE)
+                         / greatest(len(b.toks), 1), 6) AS dup_word_frac,
+                   round(coalesce(CAST(a.mx AS DOUBLE) / a.tot, 0.0), 6)
+                       AS top_bigram_frac
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible

@@ -154,6 +154,62 @@ def winnow_fingerprints(docs, k: int = 5, w: int = 8,
     return sel.select(id_col, "fingerprint").distinct()
 
 
+def repetition_signals(docs, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    machine-generated and boilerplate pages repeat themselves, so a
+    pretraining filter measures repetition before anything smarter runs.
+
+    Per document:
+    - ``n_tokens``        whitespace tokens of normalized text
+    - ``dup_word_frac``   1 − distinct/total tokens (word-level repetition)
+    - ``top_bigram_frac`` occurrences of the most frequent bigram over
+                          total bigrams (phrase-level repetition)
+
+    Topology: the token arrays stay as arrays for the per-row signals
+    (pure JVM projection); only 8-byte-ish bigram strings explode into the
+    one shuffle (groupBy doc_id+bigram, then per-doc max/sum) — the
+    document text itself never shuffles. Partitions by document; no skew
+    beyond document length. Exactly replayed by the DuckDB oracle (q43).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    tail = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("_toks", 1, tail),
+        F.slice(F.col("_toks"), 2, tail),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg_counts = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .count()
+    )
+    bg_agg = bg_counts.groupBy(id_col).agg(
+        F.max("count").alias("_mx"), F.sum("count").alias("_tot")
+    )
+    return (
+        base.join(bg_agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_toks"))
+                / F.greatest(n, F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("_mx").cast("double") / F.col("_tot"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs,
     k: int = 3,

@@ -484,3 +484,62 @@ def test_dedup_clusters_long_chain_converges(spark):
     out = dedup_clusters(pairs, max_iter=64).collect()
     assert len(out) == n + 1
     assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Hand-built rows with known PII: counts per class and the exact
+    redacted text. Also covers the ordering guarantee (card masked before
+    the phone pattern could bite a fragment) and a no-PII row."""
+    from spark_frontier.analytics.pii import pii_report
+
+    rows = [
+        (1, "write to alice.smith+x@sub.example.co.uk or bob@x.io now"),
+        (2, "call 555-123-4567 or 555 987 6543 today"),
+        (3, "server at 10.0.0.1 and 192.168.255.254 responded"),
+        (4, "card 4111 1111 1111 1234 expires soon"),
+        (5, "nothing sensitive here at all"),
+        (6, "mix bob@x.io 555-123-4567 10.0.0.1 4111-1111-1111-9999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_report(df).collect()}
+
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 0
+    assert "<EMAIL>" in got[1]["clean_text"]
+    assert "alice" not in got[1]["clean_text"]
+    assert got[2]["n_phone"] == 2
+    assert got[2]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert got[3]["n_ipv4"] == 2
+    assert got[3]["clean_text"] == "server at <IP> and <IP> responded"
+    # the card number also contains phone-shaped digit runs; the \b
+    # anchors keep the phone count at 0 and the card masks as one unit
+    assert got[4]["n_ccn"] == 1 and got[4]["n_phone"] == 0
+    assert got[4]["clean_text"] == "card <CC> expires soon"
+    assert got[5] == {"doc_id": 5, "text": rows[4][1], "n_email": 0,
+                      "n_ccn": 0, "n_phone": 0, "n_ipv4": 0,
+                      "clean_text": rows[4][1]}
+    assert got[6]["clean_text"] == "mix <EMAIL> <PHONE> <IP> <CC>"
+
+
+def test_repetition_signals_known_fractions(spark):
+    """Crafted docs with hand-computed repetition fractions."""
+    from spark_frontier.analytics.textstats import repetition_signals
+
+    rows = [
+        # 6 tokens, all distinct; top bigram count 1 of 5
+        (1, "one two three four five six"),
+        # "spam ham" * 3 → 6 tokens, 2 distinct → dup 4/6; bigrams:
+        # "spam ham" x3, "ham spam" x2 → top 3/5
+        (2, "spam ham spam ham spam ham"),
+        # single token → 0 bigrams → top_bigram_frac 0
+        (3, "alone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] == 0.2
+    assert got[2]["dup_word_frac"] == round(4 / 6, 6)
+    assert got[2]["top_bigram_frac"] == 0.6
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["top_bigram_frac"] == 0.0
