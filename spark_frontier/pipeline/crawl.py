@@ -864,3 +864,10 @@ def retention_cleanup(store: SnapStore, spark: SparkSession,
                          "n_segments": 16,
                          "covers_links": links.snapshot_id},
             )
+    # append-heavy log tables accumulate one file set per commit; the
+    # 24 h maintenance pass bin-packs them (links is rewritten by the
+    # delete_where above, so it is already compact)
+    for name in ("fetch_log", "crawl_logs"):
+        tbl = store.table(name)
+        if tbl.exists():
+            tbl.compact(spark)

@@ -190,6 +190,34 @@ class SnapTable:
             merged = current.unionByName(new_rows)
         return self.overwrite(merged, summary)
 
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 << 20,
+                summary: dict | None = None) -> str | None:
+        """Bin-pack the current data files into ~target-sized files
+        (Iceberg's ``rewrite_data_files`` / OPTIMIZE). Append-heavy
+        tables accumulate one file set per commit; at 100 TB the scan's
+        task count — and the driver's file-listing memory — track file
+        count, so periodic compaction is table maintenance, not an
+        optimization. Data-identical by construction: one ``coalesce``
+        (no shuffle) rewrite, committed as a new snapshot; prior
+        snapshots keep their immutable files for time travel until
+        retention cleanup. Carries the previous summary forward (bloom
+        metadata and friends must survive maintenance). Returns the new
+        snapshot id, or None when a rewrite would not reduce the file
+        count."""
+        files = self.current_files()
+        if len(files) <= 1:
+            return None
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // max(target_file_bytes, 1)))
+        if n_out >= len(files):
+            return None
+        df = spark.read.parquet(*files).coalesce(n_out)
+        merged = {**self.summary(), "op": "compact",
+                  "files_in": len(files), "files_out": n_out,
+                  **(summary or {})}
+        return self.overwrite(df, merged)
+
     def delete_where(self, condition: str, spark: SparkSession,
                      summary: dict | None = None) -> str:
         """DELETE FROM tbl WHERE condition (row-level delete, COW rewrite)."""

@@ -98,9 +98,17 @@ def test_retention_reopens_urls(spark, world, tmp_path_factory):
     store = _fresh_store(tmp_path_factory)
     seed_seen_store(store, world["url_seen"])
     before = store.table("links").read(spark).count()
+    # append-only log table: one file set per commit → the 24 h
+    # maintenance pass must bin-pack it
+    flog = store.table("fetch_log")
+    for i in range(3):
+        flog.append(spark.createDataFrame([(f"u{i}",)], "url string"))
+    files_before = len(flog.current_files())
     retention_cleanup(store, spark, now=NOW, ttl_days=2)
     after = store.table("links").read(spark).count()
     assert after < before  # stale seen rows expired → re-crawlable (T10 quirk)
+    assert len(flog.current_files()) < files_before
+    assert flog.read(spark).count() == 3
 
 
 def test_categories_and_site_logs_and_head(spark, world, tmp_path_factory):

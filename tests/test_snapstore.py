@@ -79,3 +79,38 @@ def test_time_travel_and_rollback(spark, tmp_path):
     # non-ancestor ids are refused
     with pytest.raises(ValueError):
         t.rollback("not-a-snapshot")
+
+
+def test_compact_binpacks_and_preserves_data(spark, tmp_path):
+    """compact() = Iceberg rewrite_data_files: fewer files, identical
+    rows, previous summary carried forward, time travel to the
+    pre-compaction snapshot untouched."""
+    store = SnapStore(str(tmp_path))
+    t = store.table("t")
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+            summary={"op": f"a{i}", "n_segments": 4},
+        )
+    pre_sid = t.snapshot_id
+    pre_files = t.current_files()
+    pre_rows = sorted(t.read(spark).collect())
+    assert len(pre_files) >= 6
+
+    sid = t.compact(spark)
+    assert sid is not None and t.snapshot_id == sid
+    post_files = t.current_files()
+    assert len(post_files) < len(pre_files)
+    assert sorted(t.read(spark).collect()) == pre_rows
+
+    s = t.summary()
+    assert s["op"] == "compact" and s["files_in"] == len(pre_files)
+    assert s["n_segments"] == 4  # prior summary keys survive maintenance
+
+    # pre-compaction snapshot still time-travels to the old file list
+    assert sorted(t.read_at(spark, pre_sid).collect()) == pre_rows
+    assert t.read_at(spark, pre_sid) is not None
+
+    # already-compact table: no-op, no new snapshot
+    assert t.compact(spark) is None
+    assert t.snapshot_id == sid
