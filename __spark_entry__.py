@@ -876,6 +876,37 @@ def q42_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS: q35's decode → phash → banded-Hamming
+    pairs composed with dedup_clusters (min-label connected components) —
+    the keep-one-representative-per-cluster step an image dedup pipeline
+    actually ships, not just the pair list. The oracle replays the same
+    phash literals through a recursive-CTE reachability closure (the
+    q30 pattern), so the hash match proves decode + banding + clustering
+    end-to-end."""
+    from spark_frontier.analytics.dedup import (
+        dedup_clusters,
+        hamming_neardup_pairs,
+    )
+    from spark_frontier.payload.validate import phash_column
+    from spark_frontier.pipeline.synth import gen_image_corpus
+
+    pdf = gen_image_corpus(24, 2)
+    images = spark.createDataFrame(pdf[["image_id", "bytes"]]).coalesce(4)
+    ph = images.select(
+        "image_id", phash_column(F.col("bytes")).alias("phash")
+    )
+    pairs = hamming_neardup_pairs(
+        ph, id_col="image_id", hash_col="phash", max_hamming=6, n_chunks=8
+    )
+    return dedup_clusters(
+        pairs,
+        vertices=ph.select(F.col("image_id").alias("doc_id")),
+        id_a="id_a",
+        id_b="id_b",
+    ).select(F.col("doc_id").alias("image_id"), "cluster_id")
+
+
 def q43_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals
     (textstats.repetition_signals): word-level and bigram-level
@@ -933,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_trap_detection": q41_trap_detection,
         "q42_pii_scrub": q42_pii_scrub,
         "q43_repetition_signals": q43_repetition_signals,
+        "q44_image_dedup_clusters": q44_image_dedup_clusters,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1448,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "q42_pii_scrub": _q42_oracle(),
+        "q44_image_dedup_clusters": _q44_oracle(),
         "q43_repetition_signals": f"""
             WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             t AS (SELECT doc_id, unnest(toks) AS tok,
@@ -1473,29 +1506,63 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _q35_oracle() -> str:
-    """DuckDB twin of q35: the deterministic decoded phashes ride as
-    literals (q23's plane-matrix pattern — both sides are pinned to the
-    same seeded corpus), so the hash match proves the Spark decode +
-    phash UDF AND the banded join against a plain exact Hamming
-    self-join."""
+def _phash_values_sql() -> str:
+    """The deterministic decoded phashes as a VALUES literal list (q23's
+    plane-matrix pattern — both sides are pinned to the same seeded
+    corpus). Shared by q35 and q44 so their oracles cannot drift."""
     from spark_frontier.payload.codec import decode_image, phash64
     from spark_frontier.pipeline.synth import gen_image_corpus
 
     pdf = gen_image_corpus(24, 2)
-    vals = ",\n            ".join(
+    return ",\n            ".join(
         f"('{r.image_id}', CAST({phash64(decode_image(r.bytes))} AS BIGINT))"
         for r in pdf.itertuples()
     )
+
+
+def _q35_pairs_sql() -> str:
+    """q35's full pair query (exact Hamming self-join over the phash
+    literals) — shared verbatim with q44, which clusters the same
+    pairs, mirroring how _Q13_SQL is shared between q13 and q30."""
     return f"""
         WITH ph AS (
             SELECT * FROM (VALUES
-            {vals}) AS t(image_id, phash)),
+            {_phash_values_sql()}) AS t(image_id, phash)),
         p AS (
             SELECT a.image_id AS id_a, b.image_id AS id_b,
                    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
             FROM ph a JOIN ph b ON a.image_id < b.image_id)
         SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
+    """
+
+
+def _q35_oracle() -> str:
+    """DuckDB twin of q35: a hash match proves the Spark decode + phash
+    UDF AND the banded join against a plain exact Hamming self-join."""
+    return _q35_pairs_sql()
+
+
+def _q44_oracle() -> str:
+    """DuckDB twin of q44: q35's pairs clustered by a recursive-CTE
+    reachability closure (the q30 pattern), over the same vertex list."""
+    return f"""
+        WITH RECURSIVE near_pairs AS ({_q35_pairs_sql()}),
+        verts AS (
+            SELECT image_id FROM (VALUES
+            {_phash_values_sql()}) AS t(image_id, phash)),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM near_pairs
+            UNION
+            SELECT id_b, id_a FROM near_pairs),
+        reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS image_id, min(lab) AS cluster_id
+                 FROM reach GROUP BY id)
+        SELECT v.image_id,
+               coalesce(c.cluster_id, v.image_id) AS cluster_id
+        FROM verts v LEFT JOIN comp c USING (image_id)
     """
 
 
