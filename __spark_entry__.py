@@ -907,6 +907,59 @@ def q44_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("image_id"), "cluster_id")
 
 
+def q45_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality gate (multimodal.image_quality + quality_gate):
+    decode → sharpness (Laplacian variance) / contrast / brightness /
+    dims inside the Arrow batch, then a JVM codegen predicate gates the
+    corpus. Oracle pattern q35: the deterministic per-image signals ride
+    as literals, the GATE itself (thresholds, boolean algebra) is
+    replayed in SQL — so the hash match proves the decode+stats UDF and
+    the gating topology."""
+    from spark_frontier.analytics.multimodal import (
+        image_quality,
+        quality_gate,
+    )
+
+    pdf = _q45_corpus()
+    images = spark.createDataFrame(pdf[["image_id", "bytes"]]).coalesce(4)
+    gated = quality_gate(
+        image_quality(images),
+        min_side=16, min_sharpness=5000.0, min_contrast=8.0,
+    )
+    return gated.select(
+        "image_id", "w", "h",
+        F.round("sharpness", 6).alias("sharpness"),
+        F.round("contrast", 6).alias("contrast"),
+        F.round("brightness", 6).alias("brightness"),
+        "is_ok",
+    )
+
+
+def _q45_corpus():
+    """q45's deterministic mixed-quality corpus: the 72 noise images
+    (sharpness ~35k → pass), 6 smooth gradient images (~600 → blur-gated)
+    and 2 tiny 12×12 images (dims-gated) so every gate branch fires."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_frontier.payload.codec import encode_image, synth_pixels
+    from spark_frontier.pipeline.synth import gen_image_corpus
+
+    pdf = gen_image_corpus(24, 2)[["image_id", "bytes"]]
+    extra = []
+    for s in range(6):
+        extra.append((f"smooth_{s}",
+                      encode_image(synth_pixels(500 + s, 32, 24), "png")))
+    for s in range(2):
+        rng = np.random.default_rng(900 + s)
+        tiny = rng.integers(0, 256, (12, 12, 3)).astype(np.uint8)
+        extra.append((f"tiny_{s}", encode_image(tiny, "png")))
+    return pd.concat(
+        [pdf, pd.DataFrame(extra, columns=["image_id", "bytes"])],
+        ignore_index=True,
+    )
+
+
 def q43_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals
     (textstats.repetition_signals): word-level and bigram-level
@@ -965,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_pii_scrub": q42_pii_scrub,
         "q43_repetition_signals": q43_repetition_signals,
         "q44_image_dedup_clusters": q44_image_dedup_clusters,
+        "q45_image_quality_gate": q45_image_quality_gate,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1481,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q42_pii_scrub": _q42_oracle(),
         "q44_image_dedup_clusters": _q44_oracle(),
+        "q45_image_quality_gate": _q45_oracle(),
         "q43_repetition_signals": f"""
             WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             t AS (SELECT doc_id, unnest(toks) AS tok,
@@ -1563,6 +1618,43 @@ def _q44_oracle() -> str:
         SELECT v.image_id,
                coalesce(c.cluster_id, v.image_id) AS cluster_id
         FROM verts v LEFT JOIN comp c USING (image_id)
+    """
+
+
+def _q45_oracle() -> str:
+    """DuckDB twin of q45: per-image quality signals computed by the
+    same codec + numpy path driver-side ride as UNROUNDED literals
+    (shortest-repr round-trips to the identical double); the gate and
+    the 6-dp rounding are replayed in SQL so they mirror the Spark
+    plan's predicate and F.round."""
+    from spark_frontier.analytics.multimodal import laplacian_variance
+    from spark_frontier.payload.codec import decode_image
+
+    import numpy as np
+
+    pdf = _q45_corpus()
+    rows = []
+    for r in pdf.itertuples():
+        px = decode_image(r.bytes)
+        g = px.astype(np.float64).mean(axis=-1)
+        rows.append(
+            f"('{r.image_id}', {px.shape[1]}, {px.shape[0]}, "
+            f"{laplacian_variance(px)!r}, {float(g.std())!r}, "
+            f"{float(g.mean())!r})"
+        )
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH s AS (
+            SELECT * FROM (VALUES
+            {vals})
+            AS t(image_id, w, h, sharpness, contrast, brightness))
+        SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+               round(sharpness, 6) AS sharpness,
+               round(contrast, 6) AS contrast,
+               round(brightness, 6) AS brightness,
+               (w >= 16 AND h >= 16 AND sharpness >= 5000.0
+                AND contrast >= 8.0) AS is_ok
+        FROM s
     """
 
 

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -134,6 +135,79 @@ def image_features(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "features"])
 
     return images.select("image_id", "bytes").mapInPandas(_run, FEATURES_SCHEMA)
+
+
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("sharpness", DoubleType()),
+        StructField("contrast", DoubleType()),
+        StructField("brightness", DoubleType()),
+    ]
+)
+
+
+def laplacian_variance(px: np.ndarray) -> float:
+    """Sharpness proxy: variance of the 4-neighbor Laplacian over the
+    grayscale image — the classic cheap blur detector an image-corpus
+    quality gate runs before anything learned. Pure numpy slicing, no
+    convolution library."""
+    g = px.astype(np.float64).mean(axis=-1)
+    lap = (
+        g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:]
+        - 4.0 * g[1:-1, 1:-1]
+    )
+    return float(lap.var())
+
+
+def image_quality(images: DataFrame) -> DataFrame:
+    """Per-image quality signals (sharpness / contrast / brightness +
+    decoded dims) via mapInPandas — the decode stays inside the Arrow
+    batch, only six scalar columns come out. Rows that fail to decode
+    are dropped (they belong to the validator's failure lane, not the
+    quality distribution)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(blob)
+                except Exception:
+                    continue
+                g = px.astype(np.float64).mean(axis=-1)
+                rows.append((
+                    iid, int(px.shape[1]), int(px.shape[0]),
+                    laplacian_variance(px), float(g.std()),
+                    float(g.mean()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in QUALITY_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        _run, QUALITY_SCHEMA
+    )
+
+
+def quality_gate(stats: DataFrame, min_side: int = 64,
+                 min_sharpness: float = 10.0,
+                 min_contrast: float = 8.0) -> DataFrame:
+    """JVM-side gating over the extracted signals: the decision logic is
+    a plain codegen predicate (SQL-replayable by the q45 oracle), kept
+    separate from the Python decode so thresholds can be retuned without
+    touching the UDF."""
+    return stats.select(
+        "*",
+        (
+            (F.col("w") >= min_side)
+            & (F.col("h") >= min_side)
+            & (F.col("sharpness") >= min_sharpness)
+            & (F.col("contrast") >= min_contrast)
+        ).alias("is_ok"),
+    )
 
 
 def decode_audio(blob: bytes) -> np.ndarray:  # pragma: no cover - seam

@@ -244,6 +244,41 @@ class SnapTable:
             return None
         return spark.read.parquet(*files)
 
+    def read_changes(self, spark: SparkSession, since_snapshot: str,
+                     ) -> DataFrame | None:
+        """Incremental scan (Iceberg's ``incremental read`` /
+        ``table_changes``): the rows added by APPEND commits after
+        ``since_snapshot``, up to HEAD — the natural source for a
+        downstream consumer that processes each crawl cycle's new links
+        exactly once without rescanning the table. Appends only add
+        files, so the delta is the file-list difference; a rewrite
+        commit (overwrite / merge / delete / compact) in the range
+        invalidates that equivalence, and this raises rather than
+        double-count — exactly Iceberg's behavior on non-append
+        snapshots. Returns None when no files were added."""
+        lineage = self.history()
+        sids = [h["snapshot_id"] for h in lineage]
+        if since_snapshot not in sids:
+            raise ValueError(
+                f"{since_snapshot} is not an ancestor of HEAD for "
+                f"{self.name}"
+            )
+        base = set(self._manifest(since_snapshot).get("files", []))
+        new_files: list[str] = []
+        for h in lineage[sids.index(since_snapshot) + 1:]:
+            files = set(self._manifest(h["snapshot_id"]).get("files", []))
+            if not base <= files:
+                raise ValueError(
+                    f"snapshot {h['snapshot_id']} of {self.name} rewrote "
+                    "data files (overwrite/merge/delete/compact); "
+                    "incremental read is append-only"
+                )
+            new_files.extend(sorted(files - base))
+            base = files
+        if not new_files:
+            return None
+        return spark.read.parquet(*new_files)
+
     def rollback(self, snapshot_id: str) -> str:
         """Atomic HEAD swap back to an ancestor snapshot (Iceberg's
         rollback_to_snapshot). The abandoned snapshots' manifests and

@@ -100,3 +100,42 @@ def test_attach_payload_strategies_agree(spark):
                          for r in rows)
     assert outs["auto"] == outs["broadcast"] == outs["shuffle"]
     assert len(outs["auto"]) == 40
+
+
+def test_image_quality_gate_discriminates(spark):
+    """image_quality + quality_gate: noise images pass, smooth images
+    fail the sharpness gate, tiny images fail the dims gate, and a
+    corrupt blob is dropped to the validator's failure lane."""
+    import numpy as np
+
+    from spark_frontier.analytics.multimodal import (
+        image_quality,
+        laplacian_variance,
+        quality_gate,
+    )
+    from spark_frontier.payload.codec import encode_image, synth_pixels
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    rows = [
+        ("noise", encode_image(noise, "png")),
+        ("smooth", encode_image(synth_pixels(1, 32, 24), "png")),
+        ("tiny", encode_image(
+            rng.integers(0, 256, (8, 8, 3)).astype(np.uint8), "png")),
+        ("corrupt", b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = quality_gate(
+        image_quality(df), min_side=16, min_sharpness=5000.0,
+        min_contrast=8.0,
+    )
+    got = {r["image_id"]: r.asDict() for r in out.collect()}
+
+    assert "corrupt" not in got and len(got) == 3
+    assert got["noise"]["is_ok"]
+    assert got["noise"]["w"] == 32 and got["noise"]["h"] == 24
+    assert not got["smooth"]["is_ok"]  # blur-gated
+    assert got["smooth"]["sharpness"] < 5000.0 < got["noise"]["sharpness"]
+    assert not got["tiny"]["is_ok"]  # dims-gated
+    # UDF value matches the driver-side reference computation exactly
+    assert got["noise"]["sharpness"] == laplacian_variance(noise)

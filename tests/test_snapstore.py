@@ -114,3 +114,31 @@ def test_compact_binpacks_and_preserves_data(spark, tmp_path):
     # already-compact table: no-op, no new snapshot
     assert t.compact(spark) is None
     assert t.snapshot_id == sid
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    """read_changes() = Iceberg incremental read: exactly the rows added
+    by appends after a snapshot; rewrites in the range raise."""
+    store = SnapStore(str(tmp_path))
+    t = store.table("t")
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    base = t.snapshot_id
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    delta = t.read_changes(spark, base)
+    assert sorted(r["k"] for r in delta.collect()) == [2, 3]
+    # full window from HEAD: nothing new
+    assert t.read_changes(spark, t.snapshot_id) is None
+    # unknown ancestor rejected
+    with pytest.raises(ValueError):
+        t.read_changes(spark, "no-such-snapshot")
+
+    # a rewrite commit poisons the append-only window
+    t.delete_where("k = 1", spark)
+    with pytest.raises(ValueError, match="append-only"):
+        t.read_changes(spark, base)
+    # but a window starting after the rewrite works again
+    post = t.snapshot_id
+    t.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+    assert [r["k"] for r in t.read_changes(spark, post).collect()] == [4]
