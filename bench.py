@@ -65,6 +65,10 @@ HEADLINE = [
     "q38_recrawl_priority",
     "q40_tfidf_terms",
     "q41_trap_detection",
+    "q42_pii_scrub",
+    "q43_repetition_signals",
+    "q44_image_dedup_clusters",
+    "q45_image_quality_gate",
 ]
 
 
