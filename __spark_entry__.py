@@ -960,6 +960,32 @@ def _q45_corpus():
     )
 
 
+def q46_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption↔image alignment filter (multimodal.caption_alignment):
+    hashing-trick text tower (pure JVM md5 one-hots) × pooled-luma image
+    tower (Arrow UDF) → sparse-join cosine. The oracle carries the
+    image-tower vectors as float32-exact literals (q35 pattern: the UDF
+    seam's deterministic output) and replays the ENTIRE text tower,
+    join, and cosine in SQL."""
+    from spark_frontier.analytics.multimodal import caption_alignment
+    from spark_frontier.pipeline.synth import gen_images
+
+    pdf = gen_images(24)
+    images = spark.createDataFrame(
+        pdf[["image_id", "bytes", "caption"]]
+    ).coalesce(4)
+    out = caption_alignment(images, threshold=_Q46_THRESHOLD)
+    return out.select(
+        "image_id", F.round("alignment", 6).alias("alignment"), "is_aligned"
+    )
+
+
+# midpoint of the observed score gap for the seeded corpus
+# (-0.0045 … 0.0243) — far from every actual alignment value, so fp
+# addition-order noise between the two engines can never flip the gate
+_Q46_THRESHOLD = 0.01
+
+
 def q43_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals
     (textstats.repetition_signals): word-level and bigram-level
@@ -1019,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_repetition_signals": q43_repetition_signals,
         "q44_image_dedup_clusters": q44_image_dedup_clusters,
         "q45_image_quality_gate": q45_image_quality_gate,
+        "q46_caption_alignment": q46_caption_alignment,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1536,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "q42_pii_scrub": _q42_oracle(),
         "q44_image_dedup_clusters": _q44_oracle(),
         "q45_image_quality_gate": _q45_oracle(),
+        "q46_caption_alignment": _q46_oracle(),
         "q43_repetition_signals": f"""
             WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             t AS (SELECT doc_id, unnest(toks) AS tok,
@@ -1655,6 +1683,69 @@ def _q45_oracle() -> str:
                (w >= 16 AND h >= 16 AND sharpness >= 5000.0
                 AND contrast >= 8.0) AS is_ok
         FROM s
+    """
+
+
+def _q46_oracle() -> str:
+    """DuckDB twin of q46: image-tower vectors as float32-exact literals
+    (the Spark UDF stores ArrayType(FloatType), so literals are rounded
+    through np.float32 to match); text tower, sparse-join dot product,
+    norms, and gate all replayed in SQL."""
+    import numpy as np
+
+    from spark_frontier.analytics.multimodal import feature_vec
+    from spark_frontier.payload.codec import decode_image
+    from spark_frontier.pipeline.synth import gen_images
+
+    pdf = gen_images(24)
+    frows, crows = [], []
+    for r in pdf.itertuples():
+        fv = [float(np.float32(v)) for v in feature_vec(decode_image(r.bytes))]
+        frows.append(f"('{r.image_id}', {fv})")
+        crows.append(f"('{r.image_id}', '{r.caption}')")
+    feats = ",\n            ".join(frows)
+    caps = ",\n            ".join(crows)
+    return f"""
+        WITH imgs AS (
+            SELECT * FROM (VALUES
+            {caps}) AS t(image_id, caption)),
+        feats AS (
+            SELECT image_id, fv::DOUBLE[] AS fv FROM (VALUES
+            {feats}) AS t(image_id, fv)),
+        tok AS (
+            SELECT image_id,
+                   unnest(list_filter(string_split_regex(
+                       lower(trim(caption)), '\\s+'), x -> x <> '')) AS tok
+            FROM imgs),
+        sparse AS (
+            SELECT image_id,
+                   CAST('0x' || substring(md5(tok), 1, 2) AS INT) % 64
+                       AS idx,
+                   SUM(CAST(1 - 2 * (CAST('0x' || substring(md5(tok), 3, 1)
+                       AS INT) % 2) AS DOUBLE)) AS tv
+            FROM tok GROUP BY image_id, idx),
+        fpos AS (
+            SELECT image_id, generate_subscripts(fv, 1) - 1 AS idx,
+                   unnest(fv) AS f
+            FROM feats),
+        dot AS (
+            SELECT s.image_id, SUM(s.tv * p.f) AS dot
+            FROM sparse s JOIN fpos p
+              ON s.image_id = p.image_id AND s.idx = p.idx
+            GROUP BY s.image_id),
+        tn AS (SELECT image_id, sqrt(SUM(tv * tv)) AS tnorm
+               FROM sparse GROUP BY image_id),
+        inn AS (SELECT image_id, sqrt(SUM(f * f)) AS inorm
+                FROM fpos GROUP BY image_id)
+        SELECT i.image_id,
+               round(coalesce(d.dot / nullif(t.tnorm * n.inorm, 0.0),
+                              0.0), 6) AS alignment,
+               coalesce(d.dot / nullif(t.tnorm * n.inorm, 0.0), 0.0)
+                   >= {_Q46_THRESHOLD} AS is_aligned
+        FROM imgs i
+        LEFT JOIN dot d USING (image_id)
+        LEFT JOIN tn t USING (image_id)
+        LEFT JOIN inn n USING (image_id)
     """
 
 

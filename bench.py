@@ -69,6 +69,7 @@ HEADLINE = [
     "q43_repetition_signals",
     "q44_image_dedup_clusters",
     "q45_image_quality_gate",
+    "q46_caption_alignment",
 ]
 
 

@@ -111,6 +111,21 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def feature_vec(px: np.ndarray) -> list[float]:
+    """64-dim pooled-luma feature vector for one decoded image — the
+    'image tower'. Shared by the Spark UDF and the q46 oracle's
+    driver-side literal builder so the two can never drift."""
+    g = px.astype(np.float32).mean(axis=-1)
+    h, w = g.shape
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    return [
+        float(g[ys[i]:max(ys[i + 1], ys[i] + 1),
+                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()) / 255.0
+        for i in range(8) for j in range(8)
+    ]
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """64-dim pooled-luma feature vector per image (stand-in for a real
     vision-encoder embedding; identical schema/batching)."""
@@ -120,21 +135,98 @@ def image_features(images: DataFrame) -> DataFrame:
             rows = []
             for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    px = decode_image(blob).astype(np.float32).mean(axis=-1)
-                    h, w = px.shape
-                    ys = np.linspace(0, h, 9, dtype=int)
-                    xs = np.linspace(0, w, 9, dtype=int)
-                    feat = [
-                        float(px[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                 xs[j]:max(xs[j + 1], xs[j] + 1)].mean()) / 255.0
-                        for i in range(8) for j in range(8)
-                    ]
-                    rows.append((iid, feat))
+                    rows.append((iid, feature_vec(decode_image(blob))))
                 except Exception:
                     rows.append((iid, None))
             yield pd.DataFrame(rows, columns=["image_id", "features"])
 
     return images.select("image_id", "bytes").mapInPandas(_run, FEATURES_SCHEMA)
+
+
+def caption_alignment(images: DataFrame, dim: int = 64,
+                      id_col: str = "image_id",
+                      caption_col: str = "caption",
+                      threshold: float = 0.0) -> DataFrame:
+    """Caption↔image alignment score (the LAION-style multimodal filter:
+    keep pairs whose caption actually describes the image).
+
+    Two towers → cosine:
+    - image tower: ``image_features`` (64-dim pooled luma, Arrow UDF —
+      the CLIP-vision seam; swap the UDF body for a real encoder in
+      production, the topology is unchanged);
+    - text tower: a hashing-trick embedding computed ENTIRELY in JVM
+      expressions — each token md5-hashes to a signed one-hot
+      (idx = first md5 byte mod dim, sign = third hex nibble parity),
+      summed per caption. No vocabulary, no Python, exactly what a
+      100 TB corpus pass can afford without a GPU tower — and exactly
+      replayable by the DuckDB oracle (q46).
+
+    Topology: captions explode to (id, idx, weight) sparse entries; the
+    dense image vectors posexplode once; ONE equi-join on (id, idx)
+    computes the dot product (the text side is sparse, so the join
+    carries only the caption's non-zero coordinates). Norms reduce
+    per-id. The image bytes never shuffle — only 8-byte feature entries.
+    Returns (id, alignment ∈ [-1, 1], is_aligned = alignment ≥
+    threshold); captions with no tokens score 0.
+    """
+    feats = image_features(images)
+    tok = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(caption_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).alias("tok")
+    sparse = (
+        images.select(F.col(id_col), tok)
+        .select(
+            id_col,
+            (F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10)
+             .cast("int") % dim).alias("idx"),
+            (F.lit(1)
+             - F.lit(2) * (F.conv(F.substring(F.md5("tok"), 3, 1), 16, 10)
+                           .cast("int") % 2)).cast("double").alias("sgn"),
+        )
+        .groupBy(id_col, "idx")
+        .agg(F.sum("sgn").alias("tv"))
+    )
+    fpos = feats.select(
+        id_col, F.posexplode("features").alias("idx", "fv")
+    ).withColumn("fv", F.col("fv").cast("double"))
+    dot = (
+        sparse.join(fpos, [id_col, "idx"])
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tv") * F.col("fv")).alias("dot"))
+    )
+    tnorm = sparse.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tv") * F.col("tv"))).alias("tnorm")
+    )
+    inorm = feats.select(
+        id_col,
+        F.sqrt(
+            F.aggregate(
+                "features", F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("inorm"),
+    )
+    return (
+        images.select(id_col)
+        .join(dot, id_col, "left")
+        .join(tnorm, id_col, "left")
+        .join(inorm, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("dot")
+                / F.nullif(F.col("tnorm") * F.col("inorm"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("alignment"),
+        )
+        .select(
+            id_col, "alignment",
+            (F.col("alignment") >= threshold).alias("is_aligned"),
+        )
+    )
 
 
 QUALITY_SCHEMA = StructType(

@@ -139,3 +139,33 @@ def test_image_quality_gate_discriminates(spark):
     assert not got["tiny"]["is_ok"]  # dims-gated
     # UDF value matches the driver-side reference computation exactly
     assert got["noise"]["sharpness"] == laplacian_variance(noise)
+
+
+def test_caption_alignment_properties(spark):
+    """caption_alignment: scores bounded in [-1,1], empty captions score
+    exactly 0, deterministic across runs, and gate honors the
+    threshold."""
+    from spark_frontier.analytics.multimodal import caption_alignment
+    from spark_frontier.payload.codec import encode_image, synth_pixels
+
+    rows = [
+        ("a", encode_image(synth_pixels(1, 32, 24), "png"),
+         "A fast striker photo"),
+        ("b", encode_image(synth_pixels(2, 32, 24), "png"), "   "),
+        ("c", encode_image(synth_pixels(3, 32, 24), "png"),
+         "quiet stadium record"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, caption string"
+    )
+    out1 = {r["image_id"]: r.asDict()
+            for r in caption_alignment(df, threshold=-2.0).collect()}
+    out2 = {r["image_id"]: r.asDict()
+            for r in caption_alignment(df, threshold=-2.0).collect()}
+    assert out1 == out2  # deterministic
+    assert all(-1.0 <= v["alignment"] <= 1.0 for v in out1.values())
+    assert out1["b"]["alignment"] == 0.0  # tokenless caption
+    assert all(v["is_aligned"] for v in out1.values())  # threshold -2
+    gated = {r["image_id"]: r["is_aligned"]
+             for r in caption_alignment(df, threshold=2.0).collect()}
+    assert not any(gated.values())
