@@ -142,3 +142,54 @@ def test_read_changes_incremental_scan(spark, tmp_path):
     post = t.snapshot_id
     t.append(spark.createDataFrame([(4, "d")], "k long, v string"))
     assert [r["k"] for r in t.read_changes(spark, post).collect()] == [4]
+
+
+def test_export_delta_job(spark, tmp_path, monkeypatch, capsys):
+    """jobs/export_delta.py: exactly-once incremental export — first run
+    full, second run only the appended delta, rewrite in the window →
+    needs_full_export, --full re-baselines."""
+    import importlib.util
+    import json as _json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "export_delta", os.path.join(os.path.dirname(__file__), "..",
+                                     "jobs", "export_delta.py"))
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    store = SnapStore(str(tmp_path / "wh"))
+    out = str(tmp_path / "export")
+    t = store.table("links")
+    t.append(spark.createDataFrame([(1, True), (2, False)],
+                                   "k long, is_valid boolean"))
+
+    def run(*extra):
+        monkeypatch.setattr("sys.argv", [
+            "export_delta.py", "--store", str(tmp_path / "wh"),
+            "--out", out, *extra])
+        rc = job.main()
+        return rc, _json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+
+    rc, rep = run()
+    assert rc == 0 and rep["status"] == "exported" and rep["rows"] == 2
+
+    # nothing new → up_to_date, no batch written
+    rc, rep = run()
+    assert rc == 0 and rep["status"] == "up_to_date"
+
+    # append a delta → only the new row exports
+    t.append(spark.createDataFrame([(3, True)], "k long, is_valid boolean"))
+    rc, rep = run("--valid-only")
+    assert rc == 0 and rep["status"] == "exported" and rep["rows"] == 1
+    assert [r["k"] for r in spark.read.parquet(rep["dir"]).collect()] == [3]
+
+    # rewrite inside the window → refuse rather than double-count
+    t.append(spark.createDataFrame([(4, True)], "k long, is_valid boolean"))
+    t.delete_where("k = 1", spark)
+    rc, rep = run()
+    assert rc == 1 and rep["status"] == "needs_full_export"
+
+    # --full re-baselines
+    rc, rep = run("--full")
+    assert rc == 0 and rep["status"] == "exported" and rep["rows"] == 3
