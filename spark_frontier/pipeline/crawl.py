@@ -292,7 +292,7 @@ def _run_cycle_inner(
     bloom_tbl = store.table("bloom")
     logs_tbl = store.table("crawl_logs")
 
-    # Async state-commit lanes: links / host_state / fetch_log / bloom /
+    # Async state-commit lanes: links / host_state / bloom /
     # logs / watermark commits don't gate the next wave's reads (their
     # DataFrames stay in memory for the cycle), so they run on background
     # threads. All futures are joined before the cycle returns, so the
@@ -608,18 +608,34 @@ def _run_cycle_inner(
             # (Round-1 ran 4 checkpoints + 4 commits per wave; the serial
             # barrier tail was the measured scaling-efficiency killer.)
             obs_v = Observation(f"valid_w{wave}")
-            rows_full = fetch_and_validate(
+            rows_obs = fetch_and_validate(
                 scheduled, world, batch_ts, salt_buckets
             )
-            rows_full = build_link_rows(
-                rows_full, batch_ts, sites=world["sites"],
+            rows_obs = build_link_rows(
+                rows_obs, batch_ts, sites=world["sites"],
                 keep=["politeness_deadline"],
             ).observe(
                 obs_v,
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.when(F.col("http_code") == 200, 1).otherwise(0)).alias("ok"),
                 F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid"),
-            ).transform(materialize)
+            )
+            # MATERIALIZE-TO-SINK: the wave's one compute job writes the
+            # fetch_log lineage files directly (fetch_partition = the
+            # salted politeness partition that executed the fetch,
+            # north_rule per-partition fetch lineage — evaluated in the
+            # executing task, before any reshuffle). This replaces the
+            # old localCheckpoint + separate full-table fetch_log write:
+            # one job fewer in the cycle's commit tail, and the cycle's
+            # biggest block-manager footprint disappears. Downstream
+            # consumers re-read the just-written files with column-pruned
+            # scans.
+            wave_files = store.table("fetch_log").append_files(
+                rows_obs.select(
+                    "*", F.spark_partition_id().alias("fetch_partition")
+                ),
+                summary={"op": "fetch_lineage", "wave": wave},
+            )
             _tr(f"wave{wave}_materialize")
 
             n_wave = int(obs_v.get["n"] or 0)
@@ -629,7 +645,10 @@ def _run_cycle_inner(
             if wave == 1:
                 report.new_urls_found = n_unseen
             if n_wave == 0:
+                # drained wave: the write job ran (observations fired) but
+                # produced no files — don't try to re-read an empty list
                 break
+            rows_full = spark.read.parquet(*wave_files)
             report.scheduled += n_wave
             report.waves = wave
             report.fetched += n_ok
@@ -641,7 +660,8 @@ def _run_cycle_inner(
             # The wave was exactly deduped against (seen ∪ attempted), so
             # every valid key is NEW — the upsert degenerates to an APPEND
             # (no O(table) copy-on-write rewrite; Iceberg MOR equivalent).
-            # The links append reads only the CHECKPOINTED rows_full, and
+            # The links append reads only the wave's committed lineage
+            # files (column-pruned), and
             # the next wave dedups against (snapshot-isolated seen ∪
             # in-memory attempted) — never the new links — so the append
             # can ride the async lane too, overlapping the next wave's
@@ -660,18 +680,6 @@ def _run_cycle_inner(
             _tr(f"wave{wave}_links_append")
             wave_key_slices.append(
                 rows_full.filter(F.col("is_valid")).select("url_key")
-            )
-            _async(
-                store.table("fetch_log").append,
-                # fetch_partition = the salted politeness partition that
-                # executed the fetch (north_rule: per-partition fetch
-                # lineage) — evaluated before any downstream reshuffle
-                rows_full.select("url", "url_key", "host", "http_code",
-                                 "is_valid", "invalid_reason", "first_seen_at",
-                                 F.spark_partition_id()
-                                 .alias("fetch_partition")),
-                summary={"op": "fetch_lineage", "wave": wave, "rows": n_wave},
-                _lane="fetch_log",
             )
 
             if collect_metrics:

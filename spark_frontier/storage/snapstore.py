@@ -129,6 +129,17 @@ class SnapTable:
         new_files = self._write_files(df, sid, small=small)
         return self._commit(self.current_files() + new_files, summary)
 
+    def append_files(self, df: DataFrame, summary: dict | None = None,
+                     small: bool = False) -> list[str]:
+        """Append and return THIS commit's data files — for
+        materialize-to-sink call sites that re-read exactly the rows
+        they just computed (the write job doubles as the wave's
+        materialization barrier, so no separate checkpoint + rewrite)."""
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        new_files = self._write_files(df, sid, small=small)
+        self._commit(self.current_files() + new_files, summary)
+        return new_files
+
     def _write_files_local(self, pdf, snapshot_id: str) -> list[str]:
         """Driver-local parquet write via pyarrow — for tiny state/metrics
         tables (a crawl-log row, the sites watermark) a full Spark write

@@ -543,3 +543,43 @@ def test_repetition_signals_known_fractions(spark):
     assert got[2]["top_bigram_frac"] == 0.6
     assert got[3]["n_tokens"] == 1
     assert got[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_matches_python_reference_fuzz(spark):
+    """Property parity: the JVM regexp chain equals Python re with the
+    same patterns over adversarial near-PII strings (boundary digits,
+    glued emails, mixed separators)."""
+    import re
+
+    from spark_frontier.analytics.pii import PII_PATTERNS, pii_report
+
+    frags = [
+        "x@y.io", "a.b@c.example.com", "user@@double.com", "@nodomain",
+        "555-123-4567", "4111 1111 1111 1111", "12345-678-9012",
+        "999.999.999.999", "1.2.3.4", "1.2.3.4.5", "v1.2.3.4x",
+        "5551234567", "555 123 4567", "4111-1111-1111-9999",
+        "text", "#", "10.0.0.256", "a1.2.3.4",
+    ]
+    rows = []
+    k = 0
+    for i in range(len(frags)):
+        for j in range(len(frags)):
+            rows.append((k, frags[i] + " " + frags[j] + " tail"))
+            k += 1
+            rows.append((k, frags[i] + frags[j]))  # glued, no separator
+            k += 1
+
+    def py_ref(t: str):
+        counts = {n: len(re.findall(p, t)) for n, p, _ in PII_PATTERNS}
+        for _, p, rep in PII_PATTERNS:
+            t = re.sub(p, rep, t)
+        return counts, t
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_report(df).collect()}
+    for did, text in rows:
+        counts, clean = py_ref(text)
+        g = got[did]
+        assert g["clean_text"] == clean, (text, g["clean_text"], clean)
+        for n in counts:
+            assert g[f"n_{n}"] == counts[n], (text, n, g[f"n_{n}"], counts)
