@@ -996,6 +996,35 @@ def q43_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q47_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (decontam.decontaminate): word 8-gram
+    overlap of every corpus doc against a held-out eval slice
+    (doc_id % 37 == 0 plays the benchmark). Map-only corpus scan +
+    broadcast eval-gram probe; only matched rows reach the count
+    shuffle."""
+    from spark_frontier.analytics.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(train, ev, n=8).select(
+        "doc_id", "n_hits", "is_contaminated"
+    )
+
+
+def q48_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (decontam.bigram_lm_scores): add-one
+    smoothed average log-prob per doc, LM trained on the corpus itself —
+    the cheap perplexity proxy a pretraining filter runs before a real
+    LM. Scoring shuffle carries per-doc partials, not tokens."""
+    from spark_frontier.analytics.decontam import bigram_lm_scores
+
+    out = bigram_lm_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.round("lm_logprob", 6).alias("lm_logprob"), "n_bigrams"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1046,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_image_dedup_clusters": q44_image_dedup_clusters,
         "q45_image_quality_gate": q45_image_quality_gate,
         "q46_caption_alignment": q46_caption_alignment,
+        "q47_decontaminate": q47_decontaminate,
+        "q48_bigram_lm_score": q48_bigram_lm_score,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1583,6 +1614,46 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(CAST(a.mx AS DOUBLE) / a.tot, 0.0), 6)
                        AS top_bigram_frac
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "q47_decontaminate": f"""
+            WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, greatest(len(toks)-7, 0)+1),
+                             i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                  FROM base),
+            gd AS (SELECT DISTINCT doc_id, gram FROM g),
+            ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 37 = 0),
+            hits AS (SELECT gd.doc_id, CAST(count(*) AS INT) AS n_hits
+                     FROM gd JOIN ev USING (gram)
+                     WHERE gd.doc_id % 37 <> 0
+                     GROUP BY gd.doc_id)
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS is_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 37 <> 0
+        """,
+        "q48_bigram_lm_score": f"""
+            WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            t AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(
+                              range(1, greatest(len(toks)-1, 0)+1),
+                              i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                   FROM base),
+            v AS (SELECT count(DISTINCT tok) AS vocab FROM t),
+            c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+            c1 AS (SELECT tok, count(*) AS c1 FROM t GROUP BY tok),
+            lp AS (SELECT bg.doc_id,
+                          ln(CAST(c2.c2 + 1 AS DOUBLE)
+                             / CAST(c1.c1 + v.vocab AS DOUBLE)) AS lp
+                   FROM bg
+                   JOIN c2 USING (bigram)
+                   JOIN c1 ON c1.tok = string_split(bg.bigram, ' ')[1]
+                   CROSS JOIN v)
+            SELECT doc_id, round(avg(lp), 6) AS lm_logprob,
+                   CAST(count(*) AS INT) AS n_bigrams
+            FROM lp GROUP BY doc_id
         """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible

@@ -70,6 +70,8 @@ HEADLINE = [
     "q44_image_dedup_clusters",
     "q45_image_quality_gate",
     "q46_caption_alignment",
+    "q47_decontaminate",
+    "q48_bigram_lm_score",
 ]
 
 

@@ -1,0 +1,133 @@
+"""Benchmark decontamination + n-gram LM quality scoring (training-data ops).
+
+Two classic pretraining-corpus operators the reference's analytics layer
+implies but never ships (reference scope: crawl + extract only); both are
+table stakes for a 100 TB training-data pipeline:
+
+- ``decontaminate``  word n-gram overlap against an eval/benchmark set
+  (the GPT-3 / Llama 13-gram rule, parameterized n). Scale shape:
+  the eval side is always tiny relative to the corpus (benchmarks are
+  MBs, the corpus is TBs), so the plan is a map-only corpus scan —
+  explode the corpus's n-grams map-side, probe a BROADCAST hash of the
+  eval grams, and only the MATCHED (doc_id, gram) rows — contamination
+  is rare by construction — reach the per-doc count shuffle. No
+  corpus-sized shuffle anywhere.
+
+- ``bigram_lm_scores``  add-one-smoothed bigram language-model log-prob
+  per document, trained on the corpus itself (the cheap KenLM stand-in).
+  Scale shape: training is two partial-agg shuffles whose outputs are
+  VOCAB-sized, not corpus-sized; scoring is explode (map) → broadcast
+  join against the LM (map) → per-doc avg whose partial aggregation
+  collapses each partition to ≤1 row per doc BEFORE the shuffle, so the
+  scoring shuffle carries ~|docs| rows, not ~|tokens|.
+
+Both are pure JVM expression plans (split/transform/aggregate — no Python
+UDFs) with exact DuckDB oracle twins in ``__spark_entry__.py`` (q47/q48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spark_frontier.analytics.textstats import tokens
+
+
+def word_ngrams(toks_col, n: int) -> F.Column:
+    """Word n-grams of an ALREADY-PROJECTED token-array column.
+
+    ``F.sequence(1, k)`` with k <= 0 counts DOWN (step inference), so the
+    short-document case is guarded explicitly with an empty array. Pass a
+    plain column reference, not an expression — Catalyst inlines the
+    argument into the per-element lambda (see dedup._char_ngrams)."""
+    k = F.size(toks_col) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-corpus-document benchmark contamination: how many DISTINCT word
+    n-grams of the document also occur in the eval set.
+
+    Returns every corpus row: (id_col, n_hits int, is_contaminated bool).
+    n_hits counts distinct contaminated grams (one eval doc repeating a
+    gram doesn't inflate it, nor does the corpus doc repeating it)."""
+    def grams_of(df):
+        return (
+            df.select(id_col, tokens(F.col(text_col)).alias("toks"))
+            .select(id_col, F.explode(
+                F.array_distinct(word_ngrams(F.col("toks"), n))
+            ).alias("gram"))
+        )
+
+    eval_grams = grams_of(eval_docs).select("gram").distinct()
+    hits = (
+        grams_of(docs)
+        # broadcast: the eval-gram set is benchmark-sized by assumption
+        .join(F.broadcast(eval_grams), on="gram", how="inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add-one-smoothed bigram LM average log-probability per document,
+    trained on the corpus itself:
+
+        score(d) = avg over bigram occurrences (w1,w2) of
+                   ln( (c(w1,w2) + 1) / (c(w1) + V) )
+
+    with V = |distinct tokens in the corpus|. Higher = more typical text;
+    the classic cheap perplexity proxy for quality filtering. Documents
+    with < 2 tokens have no bigrams and are omitted (no score to define).
+    """
+    toks = docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    bigrams = toks.select(
+        id_col, F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram")
+    )
+    unigrams = toks.select(
+        id_col, F.explode(F.col("toks")).alias("tok")
+    )
+
+    vocab = unigrams.select("tok").distinct().count()
+    c2 = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+
+    scored = (
+        bigrams
+        .join(F.broadcast(c2), on="bigram", how="inner")
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(F.broadcast(c1), F.col("w1") == F.col("tok"), how="inner")
+        .select(
+            id_col,
+            F.log(
+                (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.lit(vocab)).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("lp").alias("lm_logprob"),
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+    )

@@ -583,3 +583,53 @@ def test_pii_scrub_matches_python_reference_fuzz(spark):
         assert g["clean_text"] == clean, (text, g["clean_text"], clean)
         for n in counts:
             assert g[f"n_{n}"] == counts[n], (text, n, g[f"n_{n}"], counts)
+
+
+def test_decontaminate_known_overlap(spark):
+    """An 8-gram lifted verbatim from an eval doc flags the corpus doc;
+    distinct-gram counting ignores repeats on either side."""
+    from spark_frontier.analytics.decontam import decontaminate
+
+    ev_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            # contains eval grams: tokens 1..9 of ev_text → two 8-grams
+            (1, "XX " + ev_text + " YY"),
+            # repeats the SAME contaminated 8-gram twice → still counted once
+            (2, "alpha beta gamma delta epsilon zeta eta theta PAD "
+                "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally clean text with nothing shared at all here okay"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, ev_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in decontaminate(docs, ev, n=8).collect()}
+    assert len(got) == 4  # every corpus row present, zero-filled
+    # ev_text has 10 tokens → 3 distinct eval 8-grams; doc 1 embeds all 10
+    # tokens contiguously → all 3 grams hit
+    assert got[1]["n_hits"] == 3 and got[1]["is_contaminated"]
+    assert got[2]["n_hits"] == 1 and got[2]["is_contaminated"]
+    assert got[3]["n_hits"] == 0 and not got[3]["is_contaminated"]
+    assert got[4]["n_hits"] == 0 and not got[4]["is_contaminated"]
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus where the add-one-smoothed bigram log-probs are
+    hand-computable: c('a b')=2, c('b a')=1, c1('a')=3, c1('b')=2, V=2."""
+    import math
+
+    from spark_frontier.analytics.decontam import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # docs 2 (one token) and 3 (empty) have no bigrams → omitted
+    assert set(got) == {1}
+    lp_ab = math.log((2 + 1) / (3 + 2))   # c2('a b')=2, c1('a')=3, V=2
+    lp_ba = math.log((1 + 1) / (2 + 2))   # c2('b a')=1, c1('b')=2
+    want = (2 * lp_ab + lp_ba) / 3
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["lm_logprob"] - want) < 1e-9
