@@ -1025,6 +1025,32 @@ def q48_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semdedup): semantic dedup — deterministic k-means
+    blocks the corpus, cosine pairs compute only within a cluster, and
+    connected components pick one representative per semantic-duplicate
+    group. Every stage reuses an oracle-checked operator (q29 k-means,
+    q14 cosine pairs, q30 components); the DuckDB twin chains their
+    unrolls."""
+    from spark_frontier.analytics.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, n_centroids=8, n_iter=3, threshold=SEMDEDUP_TAU
+    ).select("vec_id", "cluster_id", "keep")
+
+
+# threshold sits mid-gap of the observed within-cluster cosine
+# distribution at the test SFs so engine fp noise cannot flip a pair
+# across it (the q46 rule): nearest cosines are 0.4277/0.4314 (sf0.001)
+# and 0.4282/0.4322 (sf0.01) — margin >= 1.4e-3 against ~1e-7 float32
+# product noise. The synthetic embeddings have no >0.5-cosine "true"
+# near-dups, so a production-style 0.9 would make the query trivially
+# all-keep; 0.43 exercises pair generation, component closure, and
+# representative selection on real matches.
+SEMDEDUP_TAU = 0.43
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1077,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_caption_alignment": q46_caption_alignment,
         "q47_decontaminate": q47_decontaminate,
         "q48_bigram_lm_score": q48_bigram_lm_score,
+        "q49_semdedup": q49_semdedup,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1431,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_simhash": _q22_oracle(),
         "q23_ann_lsh": _q23_oracle(),
         "q29_ann_ivf": _q29_oracle(),
+        "q49_semdedup": _q49_oracle(),
         "q31_ann_pq": _q31_oracle(),
         "q33_ann_ivfpq": _q33_oracle(),
         "q34_corpus_mix": f"""
@@ -2028,17 +2056,11 @@ def _q23_oracle() -> str:
     """
 
 
-def _q29_oracle() -> str:
-    """DuckDB twin of q29: replays kmeans_fit + ivf_topk exactly. The
-    md5-hex init order is computable in both engines; each Lloyd
-    iteration unrolls as an assignment CTE (argmin euclidean d2, ties to
-    the lowest centroid id) and an update CTE (per-dim mean, empty
-    clusters carry the previous centroid); the probe ranks the final
-    centroids by d2 to the query and scans the 3 nearest posting lists;
-    cosine top-k as in q23/q15."""
-
-    def assign(prev: str) -> str:
-        return f"""
+def _lloyd_assign_sql(prev: str) -> str:
+    """One Lloyd assignment step over the CTE named ``corpus`` (argmin
+    euclidean d2, ties to the lowest centroid id) — shared by the q29 /
+    q49 oracles so the k-means replay cannot drift between them."""
+    return f"""
           SELECT vec_id, embedding, centroid FROM (
             SELECT e.vec_id, e.embedding, c.centroid,
                    ROW_NUMBER() OVER (
@@ -2049,8 +2071,11 @@ def _q29_oracle() -> str:
                               c.centroid) AS rk
             FROM corpus e CROSS JOIN {prev} c) WHERE rk = 1"""
 
-    def update(a: str, prev: str) -> str:
-        return f"""
+
+def _lloyd_update_sql(a: str, prev: str) -> str:
+    """One Lloyd centroid update (per-dim mean over 64 dims; empty
+    clusters carry the previous centroid) — shared by q29 / q49."""
+    return f"""
           SELECT p.centroid, COALESCE(u.vec, p.vec) AS vec
           FROM {prev} p LEFT JOIN (
             SELECT centroid, list(s / n ORDER BY dim) AS vec FROM (
@@ -2059,6 +2084,17 @@ def _q29_oracle() -> str:
               FROM {a}, range(1, 65) t(i)
               GROUP BY centroid, t.i)
             GROUP BY centroid) u USING (centroid)"""
+
+
+def _q29_oracle() -> str:
+    """DuckDB twin of q29: replays kmeans_fit + ivf_topk exactly. The
+    md5-hex init order is computable in both engines; each Lloyd
+    iteration unrolls as an assignment CTE (argmin euclidean d2, ties to
+    the lowest centroid id) and an update CTE (per-dim mean, empty
+    clusters carry the previous centroid); the probe ranks the final
+    centroids by d2 to the query and scans the 3 nearest posting lists;
+    cosine top-k as in q23/q15."""
+    assign, update = _lloyd_assign_sql, _lloyd_update_sql
 
     return f"""
         WITH corpus AS (
@@ -2097,6 +2133,59 @@ def _q29_oracle() -> str:
         FROM corpus e JOIN cand USING (vec_id), q
         ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
         LIMIT 10
+    """
+
+
+def _q49_oracle() -> str:
+    """DuckDB twin of q49 (SemDeDup): replays kmeans_fit over the FULL
+    embeddings table (q29's Lloyd unroll, shared helpers), generates
+    cosine >= tau pairs only within a final-assignment cluster, then
+    closes them into components with q30's recursive reachability CTE;
+    keep = (vec_id == component min id)."""
+    assign, update = _lloyd_assign_sql, _lloyd_update_sql
+    cos = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> x * x))))"""
+
+    return f"""
+        WITH RECURSIVE corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS embedding
+            FROM embeddings),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                       AS centroid,
+                   embedding AS vec
+            FROM corpus
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        a1 AS ({assign('c0')}),
+        c1 AS ({update('a1', 'c0')}),
+        a2 AS ({assign('c1')}),
+        c2 AS ({update('a2', 'c1')}),
+        a3 AS ({assign('c2')}),
+        c3 AS ({update('a3', 'c2')}),
+        a4 AS ({assign('c3')}),
+        near_pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM a4 a JOIN a4 b
+              ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            WHERE {cos} >= {SEMDEDUP_TAU}),
+        edges AS (
+            SELECT va AS src, vb AS dst FROM near_pairs
+            UNION
+            SELECT vb, va FROM near_pairs),
+        reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lab
+            FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        SELECT c.vec_id,
+               coalesce(comp.cluster_id, c.vec_id) AS cluster_id,
+               coalesce(comp.cluster_id, c.vec_id) = c.vec_id AS keep
+        FROM corpus c LEFT JOIN comp ON comp.id = c.vec_id
     """
 
 

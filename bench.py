@@ -72,6 +72,7 @@ HEADLINE = [
     "q46_caption_alignment",
     "q47_decontaminate",
     "q48_bigram_lm_score",
+    "q49_semdedup",
 ]
 
 

@@ -605,3 +605,68 @@ def dedup_clusters(
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means blocking + within-cluster cosine +
+# connected components
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): drop documents whose
+    EMBEDDINGS near-coincide, even when their text differs.
+
+    Pipeline — every stage an already-oracle-checked operator:
+      1. deterministic k-means (``similarity.kmeans_fit``, md5-order init
+         so a SQL oracle can unroll the iterations) clusters the corpus;
+      2. cosine >= ``threshold`` pairs are computed ONLY within a cluster
+         (``embedding_neardup_pairs`` blocked on the centroid id) — the
+         SemDeDup trick that turns the O(n^2) all-pairs scan into
+         sum-of-squares over cluster sizes; at 100 TB the assignment
+         table is written partitioned by centroid so each cluster's
+         pairwise stage is co-located, no global shuffle;
+      3. connected components (``dedup_clusters``) collapse transitive
+         near-dup chains; the component's minimum id is kept.
+
+    Returns one row per input vector: (id_col, cluster_id, keep) where
+    ``keep`` marks the component representative (isolated vectors keep
+    themselves)."""
+    from spark_frontier.analytics.similarity import (
+        ivf_assignments,
+        kmeans_fit,
+    )
+
+    centroids = kmeans_fit(
+        embeddings, n_centroids=n_centroids, n_iter=n_iter,
+        vec_col=vec_col, id_col=id_col,
+    )
+    # materialize: the blocked self-join consumes this twice, and its
+    # upstream is a pandas UDF — Catalyst neither CSEs nor reuses
+    # python-UDF subtrees across join branches
+    assigned = materialize(
+        ivf_assignments(embeddings, centroids, vec_col=vec_col,
+                        id_col=id_col)
+        .select(F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"), "centroid")
+    )
+    pairs = embedding_neardup_pairs(
+        assigned, threshold=threshold, block_col="centroid"
+    )
+    comp = dedup_clusters(
+        pairs,
+        vertices=embeddings.select(F.col(id_col).alias("doc_id")),
+        id_a="vec_a", id_b="vec_b",
+    )
+    return comp.select(
+        F.col("doc_id").alias(id_col),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

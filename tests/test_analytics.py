@@ -633,3 +633,39 @@ def test_bigram_lm_scores_hand_computed(spark):
     want = (2 * lp_ab + lp_ba) / 3
     assert got[1]["n_bigrams"] == 3
     assert abs(got[1]["lm_logprob"] - want) < 1e-9
+
+
+def test_semdedup_known_components(spark):
+    """Two tight semantic groups + isolated vectors: group members map to
+    the group's min id with exactly one keeper; isolates keep
+    themselves. 64-dim to match the embeddings table contract."""
+    import numpy as np
+
+    from spark_frontier.analytics.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=64)
+    base_b = rng.normal(size=64)
+    rows = []
+    # group A: ids 1,2,3 — tiny perturbations of base_a (cosine ~1)
+    for i, eps in [(1, 0.0), (2, 1e-3), (3, 2e-3)]:
+        v = base_a + eps * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    # group B: ids 10, 11
+    for i, eps in [(10, 0.0), (11, 1e-3)]:
+        v = base_b + eps * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    # isolates: orthogonal-ish random vectors
+    for i in (20, 21, 22):
+        rows.append((i, [float(x) for x in rng.normal(size=64)]))
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           semdedup(df, n_centroids=3, n_iter=2, threshold=0.99).collect()}
+    assert len(got) == 8
+    assert [got[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [got[i]["keep"] for i in (1, 2, 3)] == [True, False, False]
+    assert [got[i]["cluster_id"] for i in (10, 11)] == [10, 10]
+    assert [got[i]["keep"] for i in (10, 11)] == [True, False]
+    for i in (20, 21, 22):
+        assert got[i]["cluster_id"] == i and got[i]["keep"]
