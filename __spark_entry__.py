@@ -1051,6 +1051,21 @@ def q49_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.43
 
 
+def q50_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (packing.pack_sequences): concat-and-chunk the
+    corpus into 64-token training sequences — per doc its global token
+    offset and the sequence span it occupies. The global prefix sum runs
+    as the two-phase parallel scan (range partition → per-partition
+    totals → parallel local cumsum); the oracle replays it as one
+    ordered-window cumsum. capacity=64 sits below the corpus mean doc
+    length so multi-sequence spans are actually exercised."""
+    from spark_frontier.analytics.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=64, n_parts=8
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1104,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_decontaminate": q47_decontaminate,
         "q48_bigram_lm_score": q48_bigram_lm_score,
         "q49_semdedup": q49_semdedup,
+        "q50_pack_sequences": q50_pack_sequences,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1682,6 +1698,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(lp), 6) AS lm_logprob,
                    CAST(count(*) AS INT) AS n_bigrams
             FROM lp GROUP BY doc_id
+        """,
+        "q50_pack_sequences": f"""
+            WITH t AS (SELECT doc_id,
+                              CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         CAST(coalesce(SUM(n_tokens) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+                  FROM t)
+            SELECT doc_id, n_tokens, "offset",
+                   "offset" // 64 AS seq_first,
+                   CASE WHEN n_tokens = 0 THEN "offset" // 64
+                        ELSE ("offset" + n_tokens - 1) // 64
+                   END AS seq_last,
+                   CASE WHEN n_tokens = 0 THEN 0
+                        ELSE ("offset" + n_tokens - 1) // 64
+                             - "offset" // 64 + 1
+                   END AS n_seqs
+            FROM c
         """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible

@@ -73,6 +73,7 @@ HEADLINE = [
     "q47_decontaminate",
     "q48_bigram_lm_score",
     "q49_semdedup",
+    "q50_pack_sequences",
 ]
 
 

@@ -669,3 +669,50 @@ def test_semdedup_known_components(spark):
     assert [got[i]["keep"] for i in (10, 11)] == [True, False]
     for i in (20, 21, 22):
         assert got[i]["cluster_id"] == i and got[i]["keep"]
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Known token counts at capacity 10: offsets are the exclusive
+    prefix sum in doc_id order regardless of partitioning; boundary
+    docs span two sequences; empty docs consume no stream positions."""
+    from spark_frontier.analytics.packing import pack_sequences
+
+    rows = [
+        (1, "a b c d"),            # 4 toks  off 0   seqs 0..0
+        (2, " ".join("x" * 1 for _ in range(8))),  # 8 toks off 4 seqs 0..1
+        (3, ""),                   # 0 toks  off 12  n_seqs 0
+        (4, "one two three"),      # 3 toks  off 12  seqs 1..1
+        (5, " ".join(str(i) for i in range(9))),   # 9 toks off 15 seqs 1..2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, capacity=10, n_parts=3).collect()}
+    assert len(got) == 5
+    want = {
+        1: (4, 0, 0, 0, 1),
+        2: (8, 4, 0, 1, 2),
+        3: (0, 12, 1, 1, 0),
+        4: (3, 12, 1, 1, 1),
+        5: (9, 15, 1, 2, 2),
+    }
+    for k, (nt, off, sf_, sl, ns) in want.items():
+        r = got[k]
+        assert (r["n_tokens"], r["offset"], r["seq_first"], r["seq_last"],
+                r["n_seqs"]) == (nt, off, sf_, sl, ns), (k, dict(r.asDict()))
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The two-phase prefix sum gives identical offsets at 1 and 7
+    range partitions (the local cumsum + driver fold cannot depend on
+    where the range boundaries land)."""
+    from spark_frontier.analytics.packing import pack_sequences
+
+    rows = [(i, "tok " * (i % 13)) for i in range(100, 0, -1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(pack_sequences(df, capacity=16, n_parts=1).collect())
+    b = sorted(pack_sequences(df, capacity=16, n_parts=7).collect())
+    assert a == b
+    # spot-check the global total: last doc's offset + n_tokens
+    total = sum(i % 13 for i in range(1, 101))
+    last = max(a, key=lambda r: r["doc_id"])
+    assert last["offset"] + last["n_tokens"] == total
