@@ -1066,6 +1066,27 @@ def q50_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-budget apportionment (budget.allocate_budget): Hamilton /
+    largest-remainder split of a 1009-slot cycle budget across 97
+    synthetic hosts weighted by event count. All-integer arithmetic
+    (base = B·w div W, remainder ranked desc with host tie-break) so the
+    DuckDB window twin replays it bit-exactly; the engine ranks via the
+    two-phase scan, never a single-partition window. B=1009 (prime)
+    guarantees a non-trivial leftover distribution."""
+    from spark_frontier.frontier.budget import allocate_budget
+
+    hosts = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.concat(F.lit("h"), (F.col("user_id") % 97).cast("string"))
+            .alias("host")
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    return allocate_budget(hosts, total_budget=1009, n_parts=8)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1120,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_bigram_lm_score": q48_bigram_lm_score,
         "q49_semdedup": q49_semdedup,
         "q50_pack_sequences": q50_pack_sequences,
+        "q51_budget_allocation": q51_budget_allocation,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1719,6 +1741,24 @@ def oracle_sql() -> dict[str, str]:
                              - "offset" // 64 + 1
                    END AS n_seqs
             FROM c
+        """,
+        "q51_budget_allocation": """
+            WITH h AS (SELECT 'h' || CAST(user_id % 97 AS VARCHAR) AS host,
+                              CAST(count(*) AS BIGINT) AS weight
+                       FROM events GROUP BY 1),
+            tot AS (SELECT SUM(weight) AS w FROM h),
+            s AS (SELECT host, weight,
+                         CAST((weight * 1009) // tot.w AS BIGINT) AS base,
+                         (weight * 1009) % tot.w AS rem
+                  FROM h CROSS JOIN tot),
+            l AS (SELECT 1009 - SUM(base) AS leftover FROM s),
+            r AS (SELECT host, weight, base,
+                         ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+                  FROM s)
+            SELECT host, weight,
+                   CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM r CROSS JOIN l
         """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible

@@ -74,6 +74,7 @@ HEADLINE = [
     "q48_bigram_lm_score",
     "q49_semdedup",
     "q50_pack_sequences",
+    "q51_budget_allocation",
 ]
 
 

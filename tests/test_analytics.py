@@ -716,3 +716,33 @@ def test_pack_sequences_partition_invariant(spark):
     total = sum(i % 13 for i in range(1, 101))
     last = max(a, key=lambda r: r["doc_id"])
     assert last["offset"] + last["n_tokens"] == total
+
+
+def test_allocate_budget_hand_computed(spark):
+    """B=10 over weights 5,3,1 (W=9): quotas 50/9,30/9,10/9 -> bases
+    5,3,1 (sum 9), leftover 1 goes to the largest remainder (a: 5)."""
+    from spark_frontier.frontier.budget import allocate_budget
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1)], "host string, weight long"
+    )
+    got = {r["host"]: r["alloc"] for r in
+           allocate_budget(df, total_budget=10, n_parts=2).collect()}
+    assert got == {"a": 6, "b": 3, "c": 1}
+
+
+def test_allocate_budget_invariants(spark):
+    """Sum equals the budget exactly; zero-weight hosts get 0; result is
+    independent of the partition count; all-zero weights -> all zero."""
+    from spark_frontier.frontier.budget import allocate_budget
+
+    rows = [(f"h{i:03d}", (i * 7919) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "host string, weight long")
+    a = sorted(allocate_budget(df, 997, n_parts=1).collect())
+    b = sorted(allocate_budget(df, 997, n_parts=9).collect())
+    assert a == b
+    assert sum(r["alloc"] for r in a) == 997
+    assert all(r["alloc"] == 0 for r in a if r["weight"] == 0)
+    zero = df.withColumn("weight", F.lit(0))
+    z = allocate_budget(zero, 997).collect()
+    assert sum(r["alloc"] for r in z) == 0
