@@ -1087,6 +1087,19 @@ def q51_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocate_budget(hosts, total_budget=1009, n_parts=8)
 
 
+def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
+    et al. 2022): per doc, the fraction of its word 8-gram positions
+    whose gram also occurs in another document. Gram strings never
+    shuffle (60-bit md5 hashes do); cross-doc frequency is one count
+    window over the hash partitioning. At sf0.01 the synthetic corpus
+    has ~1k cross-doc grams and 47 docs over the 0.5 drop line — the
+    decision branch is genuinely exercised."""
+    from spark_frontier.analytics.decontam import dup_ngram_signals
+
+    return dup_ngram_signals(_t(spark, sf_dir, "documents"), n=8)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1142,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_semdedup": q49_semdedup,
         "q50_pack_sequences": q50_pack_sequences,
         "q51_budget_allocation": q51_budget_allocation,
+        "q52_dup_ngram_signals": q52_dup_ngram_signals,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1759,6 +1773,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
                         AS BIGINT) AS alloc
             FROM r CROSS JOIN l
+        """,
+        "q52_dup_ngram_signals": f"""
+            WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, greatest(len(toks)-7, 0)+1),
+                             i -> array_to_string(toks[i:i+7], ' ')))
+                             AS gram
+                  FROM base),
+            gh AS (SELECT doc_id,
+                          {_H60.format(x='gram')} AS gh,
+                          CAST(count(*) AS BIGINT) AS npos
+                   FROM g GROUP BY 1, 2),
+            nd AS (SELECT gh, count(*) AS n_docs FROM gh GROUP BY gh),
+            per_doc AS (
+                SELECT gh.doc_id,
+                       CAST(sum(npos) AS BIGINT) AS n_grams,
+                       CAST(sum(CASE WHEN n_docs >= 2 THEN npos ELSE 0 END)
+                            AS BIGINT) AS n_dup_grams
+                FROM gh JOIN nd USING (gh) GROUP BY gh.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+                   coalesce(round(p.n_dup_grams / p.n_grams, 6), 0.0)
+                       AS dup_frac,
+                   coalesce(p.n_dup_grams / p.n_grams >= 0.5, FALSE)
+                       AS drop_doc
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible

@@ -75,6 +75,7 @@ HEADLINE = [
     "q49_semdedup",
     "q50_pack_sequences",
     "q51_budget_allocation",
+    "q52_dup_ngram_signals",
 ]
 
 

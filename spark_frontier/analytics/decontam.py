@@ -131,3 +131,70 @@ def bigram_lm_scores(
         F.avg("lp").alias("lm_logprob"),
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
     )
+
+
+def dup_ngram_signals(
+    docs: DataFrame,
+    n: int = 8,
+    drop_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated n-gram signals — the per-document
+    decision input for exact-substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): how much
+    of a document is word n-grams that ALSO occur in some other document.
+
+    Scale shape: gram strings never shuffle. Positions collapse to
+    distinct (doc, gram-hash, n_positions) rows map-side of the first
+    shuffle; cross-doc gram frequency is a count window over the 8-byte
+    hash partitioning (one exchange, no self-join); the per-doc rollup is
+    the only other shuffle and carries ≤ one row per (doc, distinct
+    gram). Hot grams (boilerplate) skew the gram partitioning — the
+    window's count is a streaming aggregate, so a hot key costs one
+    sequential pass, not memory.
+
+    Returns every input row: (id_col, n_grams, n_dup_grams, dup_frac,
+    drop_doc) — position counts, so a doc that repeats a cross-doc gram
+    k times counts it k times (fraction of CONTENT that is duplicated);
+    docs shorter than n tokens have zero grams and are kept."""
+    from pyspark.sql import Window
+
+    from spark_frontier.analytics.dedup import md5_hash60
+
+    pos = (
+        docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
+        .select(
+            id_col, F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
+        )
+        .select(id_col, md5_hash60(F.col("gram")).alias("gh"))
+    )
+    dg = pos.groupBy(id_col, "gh").agg(F.count(F.lit(1)).alias("npos"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    per_doc = (
+        dg.withColumn("n_docs", n_docs)
+        .groupBy(id_col)
+        .agg(
+            F.sum("npos").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("npos")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams") / F.col("n_grams"), F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+            F.coalesce(
+                F.col("n_dup_grams") / F.col("n_grams") >= drop_threshold,
+                F.lit(False),
+            ).alias("drop_doc"),
+        )
+    )

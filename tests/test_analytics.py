@@ -746,3 +746,30 @@ def test_allocate_budget_invariants(spark):
     zero = df.withColumn("weight", F.lit(0))
     z = allocate_budget(zero, 997).collect()
     assert sum(r["alloc"] for r in z) == 0
+
+
+def test_dup_ngram_signals_hand_computed(spark):
+    """Docs 1/2 share one 8-token span (1 dup position each); doc 3 is
+    clean; doc 4 is an exact copy of doc 1 (all positions dup, dropped);
+    doc 5 is shorter than n (zero grams, kept)."""
+    from spark_frontier.analytics.decontam import dup_ngram_signals
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, span + " one two"),          # 3 grams, 3 dup (doc 4 copies all)
+        (2, "x y " + span),              # 3 grams, 1 dup (the span itself)
+        (3, "p q r s t u v w x y z"),    # 4 grams, 0 dup
+        (4, span + " one two"),          # copy of doc 1
+        (5, "too short"),                # 0 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_signals(df, n=8).collect()}
+    assert len(got) == 5
+    assert (got[1]["n_grams"], got[1]["n_dup_grams"]) == (3, 3)
+    assert got[1]["drop_doc"] and got[4]["drop_doc"]
+    assert (got[2]["n_grams"], got[2]["n_dup_grams"]) == (3, 1)
+    assert not got[2]["drop_doc"]
+    assert (got[3]["n_grams"], got[3]["n_dup_grams"]) == (4, 0)
+    assert got[3]["dup_frac"] == 0.0 and not got[3]["drop_doc"]
+    assert (got[5]["n_grams"], got[5]["n_dup_grams"]) == (0, 0)
+    assert not got[5]["drop_doc"]
