@@ -522,12 +522,48 @@ def embedding_neardup_pairs(
 # connected components: near-dup pairs -> dedup clusters
 
 
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find closure of a SMALL (already counted) symmetrized edge
+    list: one collect, path-compressed finds, representative = component
+    min id. Returns (doc_id, cluster_id) typed like the edge columns."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row["src"], row["dst"]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union-by-min keeps the invariant root == component min,
+            # so no second pass is needed to pick representatives
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+
+    rows = [(x, find(x)) for x in sorted(parent)]
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("cluster_id", id_type),
+    ])
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     vertices: DataFrame | None = None,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every doc in
     a component gets ``cluster_id`` = the component's minimum doc id —
@@ -550,12 +586,38 @@ def dedup_clusters(
     O(log n) rounds; the propagation loop is the right default below
     that regime.
 
+    Below ``driver_edge_threshold`` symmetrized edges the whole closure
+    runs as union-find on the driver instead (one collect of 16-byte-ish
+    rows, O(E·α) with path compression) — a dedup graph is SPARSE
+    relative to its corpus (edges ∝ true near-dups, not documents), so
+    even 100 TB corpora routinely land under a few million edges and the
+    per-round Spark job latency (~0.4 s × diameter) is the actual cost.
+    The distributed loop stays as the unbounded-scale path; both
+    branches produce identical labels (min is order-free; Python's str
+    ordering == Spark's UTF8 binary ordering because UTF-8 byte order
+    preserves code-point order).
+
     Deterministic: labels are ids, min is order-free. Returns
     (doc_id, cluster_id); with ``vertices`` given (a DataFrame with a
     ``doc_id`` column), isolated docs appear as their own cluster."""
     ea = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     eb = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = ea.unionByName(eb).distinct().transform(materialize)
+
+    if edges.count() <= driver_edge_threshold:
+        out = _driver_components(edges)
+        if vertices is not None:
+            out = (
+                vertices.select("doc_id").distinct()
+                .join(out, on="doc_id", how="left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+        return out
 
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -481,9 +481,33 @@ def test_dedup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
     )
-    out = dedup_clusters(pairs, max_iter=64).collect()
+    # driver_edge_threshold=0 forces the distributed propagation loop
+    out = dedup_clusters(pairs, max_iter=64, driver_edge_threshold=0).collect()
     assert len(out) == n + 1
     assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_dedup_clusters_driver_matches_distributed(spark):
+    """The size-gated driver union-find and the distributed propagation
+    loop are the same function — checked on long ids and on string ids
+    (UTF8 vs Python ordering must agree on the min representative)."""
+    from spark_frontier.analytics.dedup import dedup_clusters
+
+    edges = [(i, (i * 3) % 40) for i in range(40) if i != (i * 3) % 40]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = sorted(map(tuple, dedup_clusters(pairs).collect()))
+    b = sorted(map(tuple,
+                   dedup_clusters(pairs, driver_edge_threshold=0).collect()))
+    assert a == b
+
+    spairs = spark.createDataFrame(
+        [(f"img{a:03d}", f"img{b:03d}") for a, b in edges],
+        "doc_a string, doc_b string",
+    )
+    sa = sorted(map(tuple, dedup_clusters(spairs).collect()))
+    sb = sorted(map(tuple,
+                    dedup_clusters(spairs, driver_edge_threshold=0).collect()))
+    assert sa == sb
 
 
 def test_pii_scrub_counts_and_redaction(spark):
