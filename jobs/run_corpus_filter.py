@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the training-corpus filter funnel.
+
+Packaging (same surface as jobs/run_crawl.py):
+    python jobs/package.py                    # → dist/spark_frontier.zip
+    spark-submit --py-files dist/spark_frontier.zip \\
+        jobs/run_corpus_filter.py --docs /data/documents.parquet \\
+        --store /warehouse [--embeddings /data/embeddings.parquet] \\
+        [--eval-mod 37] [--langs en,es] [--quotas '{"web": 1000}']
+
+Prints the funnel report as one JSON line. ``--eval-mod k`` holds out
+doc_id % k == 0 as the decontamination eval slice (the q47 fixture
+rule); pass a real benchmark table instead in production.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--store", required=True, help="SnapStore warehouse root")
+    p.add_argument("--embeddings", default=None,
+                   help="embeddings parquet (vec_id aligned to doc_id) "
+                        "enabling the SemDeDup stage")
+    p.add_argument("--eval-mod", type=int, default=None,
+                   help="hold out doc_id %% K == 0 as the decontam eval set")
+    p.add_argument("--langs", default="en")
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--capacity", type=int, default=2048)
+    p.add_argument("--quotas", default=None,
+                   help="JSON dict source -> quota for the stratified mix")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("spark-frontier-corpus").getOrCreate()
+
+    from spark_frontier.pipeline.corpus import run_corpus_filter
+
+    docs = spark.read.parquet(args.docs)
+    eval_docs = None
+    if args.eval_mod:
+        eval_docs = docs.filter(f"doc_id % {int(args.eval_mod)} = 0")
+        docs = docs.filter(f"doc_id % {int(args.eval_mod)} <> 0")
+    report = run_corpus_filter(
+        spark,
+        docs,
+        args.store,
+        embeddings=(spark.read.parquet(args.embeddings)
+                    if args.embeddings else None),
+        eval_docs=eval_docs,
+        allowed_langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        pack_capacity=args.capacity,
+        quotas=json.loads(args.quotas) if args.quotas else None,
+    )
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,229 @@
+"""End-to-end training-corpus filter: the LLM-data counterpart of
+``pipeline/crawl.py``.
+
+Chains the analytics operators the engine already oracle-checks one by
+one (q16-q19, q21, q30, q43, q47, q49, q50, q12, q34, q52) into the
+funnel a 100 TB pretraining pipeline actually runs:
+
+    lang-ID → quality score → Gopher repetition → exact dedup →
+    MinHash near-dup clusters → cross-doc dup-ngram drop →
+    benchmark decontamination → SemDeDup (optional, needs embeddings) →
+    stratified source mix (optional) → sequence packing
+
+Scale shape: the cheap per-document signals (lang, quality, token
+count) are ONE JVM projection and their funnel counts ONE aggregate —
+no per-stage actions over the raw corpus. The set-based stages (dedup
+families) narrow a materialized survivor set with semi-/anti-joins, so
+each later stage reads fewer rows. Results commit to the SnapStore
+(``corpus_docs``, ``corpus_packing``, ``corpus_log``) with funnel
+counters in the snapshot summary, mirroring how crawl cycles record
+lineage.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_frontier.storage.materialize import materialize
+from spark_frontier.storage.snapstore import SnapStore
+
+
+def run_corpus_filter(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_root: str,
+    *,
+    embeddings: DataFrame | None = None,
+    eval_docs: DataFrame | None = None,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    max_dup_word_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+    neardup_threshold: float = 0.5,
+    dup_gram_threshold: float = 0.5,
+    decontam_n: int = 8,
+    semdedup_threshold: float = 0.9,
+    semdedup_centroids: int = 8,
+    pack_capacity: int = 2048,
+    quotas: dict[str, int] | None = None,
+    batch_ts: datetime | None = None,
+) -> dict:
+    """Run the corpus filter funnel over ``docs`` (doc_id, text, source,
+    …), committing results to ``store_root`` and returning the funnel
+    report. ``embeddings`` (doc_id, embedding) enables the SemDeDup
+    stage; ``eval_docs`` enables decontamination; ``quotas`` enables the
+    per-source stratified mix."""
+    from spark_frontier.analytics.decontam import (
+        decontaminate,
+        dup_ngram_signals,
+    )
+    from spark_frontier.analytics.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+        normalize_text,
+        semdedup,
+    )
+    from spark_frontier.analytics.packing import pack_sequences
+    from spark_frontier.analytics.sampling import stratified_mix
+    from spark_frontier.analytics.textstats import (
+        lang_id,
+        quality_score,
+        repetition_signals,
+        token_count,
+    )
+
+    batch_ts = batch_ts or datetime.now(timezone.utc)
+    store = SnapStore(store_root)
+    report: dict = {"batch_ts": batch_ts.isoformat()}
+
+    # ---- cheap per-doc signals: ONE projection, ONE funnel aggregate
+    rep = repetition_signals(docs).select(
+        "doc_id", "dup_word_frac", "top_bigram_frac"
+    )
+    sig = materialize(
+        docs.select("doc_id", "text", "source")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            lang_id(F.col("text")).alias("lang"),
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+            "dup_word_frac",
+            "top_bigram_frac",
+        )
+        .withColumn("lang_ok", F.col("lang").isin(*allowed_langs))
+        .withColumn("quality_ok", F.col("quality") >= min_quality)
+        .withColumn(
+            "rep_ok",
+            (F.coalesce("dup_word_frac", F.lit(0.0)) <= max_dup_word_frac)
+            & (F.coalesce("top_bigram_frac", F.lit(0.0))
+               <= max_top_bigram_frac),
+        )
+    )
+    funnel = sig.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("lang_ok").cast("long")).alias("n_lang"),
+        F.sum((F.col("lang_ok") & F.col("quality_ok")).cast("long")).alias(
+            "n_quality"
+        ),
+        F.sum(
+            (F.col("lang_ok") & F.col("quality_ok") & F.col("rep_ok"))
+            .cast("long")
+        ).alias("n_repetition"),
+    ).first()
+    report.update({k: int(funnel[k]) for k in
+                   ("n_input", "n_lang", "n_quality", "n_repetition")})
+
+    live = materialize(
+        sig.filter("lang_ok AND quality_ok AND rep_ok")
+        .drop("lang_ok", "quality_ok", "rep_ok")
+    )
+
+    # ---- exact dedup: keep the min doc_id per normalized-text hash
+    keepers = exact_dedup(live).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    live = materialize(live.join(keepers, "doc_id", "semi"))
+    report["n_exact"] = live.count()
+
+    # ---- MinHash near-dup: keep one representative per cluster
+    pairs = minhash_lsh_pairs(live, threshold=neardup_threshold)
+    comps = dedup_clusters(
+        pairs, vertices=live.select("doc_id"), id_a="doc_a", id_b="doc_b"
+    )
+    live = materialize(
+        live.join(
+            comps.filter(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id"),
+            "doc_id",
+            "semi",
+        )
+    )
+    report["n_neardup"] = live.count()
+
+    # ---- cross-doc duplicated n-gram spans (exact-substring signal)
+    dupg = dup_ngram_signals(live, n=8, drop_threshold=dup_gram_threshold)
+    live = materialize(
+        live.join(dupg.filter(~F.col("drop_doc")).select("doc_id"),
+                  "doc_id", "semi")
+    )
+    report["n_dupgram"] = live.count()
+
+    # ---- benchmark decontamination (optional)
+    if eval_docs is not None:
+        cont = decontaminate(live, eval_docs, n=decontam_n)
+        live = materialize(
+            live.join(
+                cont.filter(~F.col("is_contaminated")).select("doc_id"),
+                "doc_id",
+                "semi",
+            )
+        )
+        report["n_decontam"] = live.count()
+
+    # ---- SemDeDup over embeddings (optional)
+    if embeddings is not None:
+        emb_live = embeddings.join(
+            live.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+        )
+        sd = semdedup(
+            emb_live,
+            n_centroids=semdedup_centroids,
+            threshold=semdedup_threshold,
+        )
+        live = materialize(
+            live.join(
+                sd.filter(F.col("keep"))
+                .select(F.col("vec_id").alias("doc_id")),
+                "doc_id",
+                "semi",
+            )
+        )
+        report["n_semdedup"] = live.count()
+
+    # ---- stratified per-source mix (optional)
+    if quotas is not None:
+        live = materialize(stratified_mix(live, quotas))
+        report["n_mix"] = live.count()
+
+    report["n_kept"] = report.get(
+        "n_mix", report.get("n_semdedup",
+                            report.get("n_decontam", report["n_dupgram"]))
+    )
+
+    # ---- packing assignments over the kept set
+    packing = pack_sequences(live, capacity=pack_capacity)
+    n_seq = packing.agg(
+        (F.max(F.col("seq_last")) + 1).alias("n")
+    ).first()["n"]
+    report["n_sequences"] = int(n_seq) if n_seq is not None else 0
+
+    # ---- commit: docs + packing + funnel row (summaries carry lineage)
+    store.table("corpus_docs").overwrite(
+        live.withColumn("fingerprint", F.md5(normalize_text(F.col("text")))),
+        summary={"op": "corpus_filter", "batch_ts": report["batch_ts"],
+                 "n_kept": report["n_kept"]},
+    )
+    store.table("corpus_packing").overwrite(
+        packing,
+        summary={"op": "corpus_filter", "capacity": pack_capacity,
+                 "n_sequences": report["n_sequences"]},
+    )
+    log_row = [(report["batch_ts"], report["n_input"], report["n_kept"],
+                report["n_sequences"])]
+    store.table("corpus_log").append(
+        spark.createDataFrame(
+            log_row, "batch_ts string, n_input long, n_kept long, "
+                     "n_sequences long"
+        ),
+        summary={"op": "corpus_filter_log", **{
+            k: v for k, v in report.items() if isinstance(v, int)}},
+        small=True,
+    )
+    return report
