@@ -1087,6 +1087,21 @@ def q51_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocate_budget(hosts, total_budget=1009, n_parts=8)
 
 
+def q53_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_logweights, Xie et al.
+    2023): hashed unigram+bigram bag-of-ngrams models for a target slice
+    (doc_id % 23 == 0 plays the target domain) and for the raw corpus;
+    per-doc logweight = Σ count·(ln p_t − ln p_r) with add-one smoothing
+    over 4096 buckets. Both LMs are ≤ bucket-count rows (broadcast); the
+    corpus shuffle carries pre-collapsed (doc, bucket, count) rows."""
+    from spark_frontier.analytics.sampling import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs, docs.filter(F.col("doc_id") % 23 == 0), n_buckets=4096
+    )
+
+
 def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
     et al. 2022): per doc, the fraction of its word 8-gram positions
@@ -1156,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_pack_sequences": q50_pack_sequences,
         "q51_budget_allocation": q51_budget_allocation,
         "q52_dup_ngram_signals": q52_dup_ngram_signals,
+        "q53_dsir_weights": q53_dsir_weights,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1801,6 +1817,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.n_dup_grams / p.n_grams >= 0.5, FALSE)
                        AS drop_doc
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "q53_dsir_weights": f"""
+            WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            feats AS (SELECT doc_id, unnest(list_concat(
+                          toks,
+                          list_transform(
+                              range(1, greatest(len(toks)-1, 0)+1),
+                              i -> toks[i] || ' ' || toks[i+1]))) AS feat
+                      FROM base),
+            fb AS (SELECT doc_id,
+                          {_H60.format(x='feat')} % 4096 AS bucket
+                   FROM feats),
+            dc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+                   FROM fb GROUP BY 1, 2),
+            tcnt AS (SELECT bucket, count(*) AS c FROM fb
+                     WHERE doc_id % 23 = 0 GROUP BY bucket),
+            ttot AS (SELECT coalesce(sum(c), 0) AS t FROM tcnt),
+            rcnt AS (SELECT bucket, count(*) AS c FROM fb GROUP BY bucket),
+            rtot AS (SELECT coalesce(sum(c), 0) AS t FROM rcnt),
+            lam AS (SELECT r.bucket,
+                           ln((coalesce(t.c, 0) + 1)::DOUBLE
+                              / (ttot.t + 4096))
+                           - ln((r.c + 1)::DOUBLE / (rtot.t + 4096)) AS lam
+                    FROM rcnt r LEFT JOIN tcnt t ON t.bucket = r.bucket
+                    CROSS JOIN ttot CROSS JOIN rtot),
+            sc AS (SELECT dc.doc_id,
+                          CAST(sum(n) AS BIGINT) AS n_feats,
+                          round(sum(n * lam), 6) AS logweight
+                   FROM dc JOIN lam USING (bucket) GROUP BY dc.doc_id)
+            SELECT d.doc_id,
+                   coalesce(sc.n_feats, 0) AS n_feats,
+                   coalesce(sc.logweight, 0.0) AS logweight
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible

@@ -76,6 +76,7 @@ HEADLINE = [
     "q50_pack_sequences",
     "q51_budget_allocation",
     "q52_dup_ngram_signals",
+    "q53_dsir_weights",
 ]
 
 

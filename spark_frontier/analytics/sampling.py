@@ -66,3 +66,96 @@ def stratified_mix(
         .filter(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how much more likely its hashed n-gram features are under a TARGET
+    domain's bag-of-ngrams model than under the raw corpus's own.
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    buckets (the paper's hashed generative model) via the md5-60 hash a
+    SQL oracle replays bit-identically. Both models use add-one
+    smoothing over the bucket space; the per-doc weight is
+    Σ_b count_b(doc) · (ln p_target(b) − ln p_raw(b)).
+
+    Scale shape: both LMs aggregate to ≤ n_buckets rows (broadcast
+    side); the corpus pass explodes features map-side, pre-collapses to
+    (doc, bucket, count) before its one shuffle, and the scoring join is
+    a broadcast. No corpus-sized state anywhere. Returns every raw doc:
+    (id_col, n_feats, logweight) — callers threshold or Gumbel-sample;
+    docs with zero features score 0."""
+    from spark_frontier.analytics.decontam import word_ngrams
+    from spark_frontier.analytics.textstats import tokens
+
+    def buckets_of(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        feats = F.concat(
+            word_ngrams(F.col("_toks"), 1), word_ngrams(F.col("_toks"), 2)
+        )
+        return (
+            df.select(F.col(id_col), toks.alias("_toks"))
+            .select(F.col(id_col), F.explode(feats).alias("feat"))
+            .select(
+                F.col(id_col),
+                (md5_hash60(F.col("feat")) % n_buckets).alias("bucket"),
+            )
+        )
+
+    def lm_of(bucketed: DataFrame) -> DataFrame:
+        """ln p(bucket) with add-one smoothing over the bucket space —
+        a ≤ n_buckets-row table with the normalizer inlined."""
+        counts = bucketed.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        total = counts.agg(F.sum("c")).first()[0] or 0
+        return counts.select(
+            "bucket",
+            F.log((F.col("c") + 1).cast("double")
+                  / F.lit(float(total + n_buckets))).alias("lp"),
+        ), float(total)
+
+    raw_b = buckets_of(docs)
+    doc_counts = raw_b.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t_lm, t_total = lm_of(buckets_of(target_docs))
+    r_lm, r_total = lm_of(raw_b)
+    # unseen-bucket log-probs (the smoothing floor) so the broadcast
+    # tables stay sparse: missing bucket => ln(1 / (total + B))
+    t_floor = -F.log(F.lit(t_total + n_buckets))
+    r_floor = -F.log(F.lit(r_total + n_buckets))
+    lam = (
+        t_lm.withColumnRenamed("lp", "lp_t")
+        .join(r_lm.withColumnRenamed("lp", "lp_r"), "bucket", "full")
+        .select(
+            "bucket",
+            (F.coalesce("lp_t", t_floor) - F.coalesce("lp_r", r_floor))
+            .alias("lam"),
+        )
+    )
+    scored = (
+        doc_counts.join(F.broadcast(lam), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("n") * F.coalesce("lam", F.lit(0.0))), 6)
+            .alias("logweight"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
+        )
+    )

@@ -797,3 +797,48 @@ def test_dup_ngram_signals_hand_computed(spark):
     assert got[3]["dup_frac"] == 0.0 and not got[3]["drop_doc"]
     assert (got[5]["n_grams"], got[5]["n_dup_grams"]) == (0, 0)
     assert not got[5]["drop_doc"]
+
+
+def test_dsir_logweights_hand_computed(spark):
+    """3-doc corpus, 1-doc target: weights recomputed in pure Python
+    with the same md5 bucketing and add-one smoothing must match to
+    1e-6 (the operator's rounding); target-like docs outscore others."""
+    import hashlib
+    import math
+
+    from spark_frontier.analytics.sampling import dsir_logweights
+
+    rows = [
+        (1, "good clean prose about science"),
+        (2, "good clean prose about science"),   # same as target doc
+        (3, "zz yy xx ww vv uu"),                # nothing in common
+    ]
+    target = [(9, "good clean prose about science")]
+    B = 64
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(target, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dsir_logweights(docs, tgt, n_buckets=B).collect()}
+
+    def feats(text):
+        toks = text.split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % B
+
+    from collections import Counter
+    tcnt = Counter(bucket(f) for f in feats(target[0][1]))
+    rcnt = Counter(bucket(f) for r in rows for f in feats(r[1]))
+    tt, rt = sum(tcnt.values()), sum(rcnt.values())
+    for i, text in rows:
+        fs = [bucket(f) for f in feats(text)]
+        want = sum(
+            math.log((tcnt.get(b, 0) + 1) / (tt + B))
+            - math.log((rcnt.get(b, 0) + 1) / (rt + B))
+            for b in fs
+        )
+        assert got[i]["n_feats"] == len(fs)
+        assert abs(got[i]["logweight"] - want) < 2e-6, (i, want, got[i])
+    assert got[1]["logweight"] == got[2]["logweight"]
+    assert got[1]["logweight"] > got[3]["logweight"]
