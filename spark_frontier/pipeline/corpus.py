@@ -45,6 +45,8 @@ def run_corpus_filter(
     neardup_threshold: float = 0.5,
     dup_gram_threshold: float = 0.5,
     decontam_n: int = 8,
+    dsir_target: DataFrame | None = None,
+    dsir_threshold: float = 0.0,
     semdedup_threshold: float = 0.9,
     semdedup_centroids: int = 8,
     pack_capacity: int = 2048,
@@ -167,6 +169,21 @@ def run_corpus_filter(
         )
         report["n_decontam"] = live.count()
 
+    # ---- DSIR target-domain selection (optional)
+    if dsir_target is not None:
+        from spark_frontier.analytics.sampling import dsir_logweights
+
+        dw = dsir_logweights(live, dsir_target)
+        live = materialize(
+            live.join(
+                dw.filter(F.col("logweight") >= dsir_threshold)
+                .select("doc_id"),
+                "doc_id",
+                "semi",
+            )
+        )
+        report["n_dsir"] = live.count()
+
     # ---- SemDeDup over embeddings (optional)
     if embeddings is not None:
         emb_live = embeddings.join(
@@ -192,9 +209,10 @@ def run_corpus_filter(
         live = materialize(stratified_mix(live, quotas))
         report["n_mix"] = live.count()
 
-    report["n_kept"] = report.get(
-        "n_mix", report.get("n_semdedup",
-                            report.get("n_decontam", report["n_dupgram"]))
+    report["n_kept"] = next(
+        report[k]
+        for k in ("n_mix", "n_semdedup", "n_dsir", "n_decontam", "n_dupgram")
+        if k in report
     )
 
     # ---- packing assignments over the kept set

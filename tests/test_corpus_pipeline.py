@@ -148,3 +148,37 @@ def test_corpus_filter_quota_mix(spark, corpus, tmp_path):
     per_src = {r["source"]: r["n"] for r in
                kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert per_src.get("web", 0) <= 5 and per_src.get("books", 0) <= 1
+
+
+def test_corpus_filter_dsir_stage(spark, corpus, tmp_path):
+    """DSIR stage keeps docs scoring >= threshold against the target
+    LM. The target is built from docs 3/4's text, so they outscore all
+    other docs; the threshold is set mid-gap between the two groups
+    (operator-level scoring is covered by q53 — this pins the wiring)."""
+    from spark_frontier.analytics.sampling import dsir_logweights
+
+    target = spark.createDataFrame(
+        [(9100, _doc(3)), (9101, _doc(4))], "doc_id long, text string"
+    )
+    # the stage scores the post-gate survivor set (lang/quality/rep/
+    # exact/neardup/dupgram have already dropped 100-103 and 105), and
+    # logweight is a per-document SUM, so the reference scores must be
+    # computed over the same set — shorter dropped docs would otherwise
+    # accrue less negative mass and sit above the gap
+    live_like = corpus.filter("doc_id <= 19 or doc_id in (104, 110, 111)")
+    scores = {r["doc_id"]: r["logweight"] for r in
+              dsir_logweights(live_like, target).collect()}
+    lo = max(v for k, v in scores.items() if k not in (3, 4))
+    hi = min(scores[3], scores[4])
+    assert lo < hi  # target-built docs strictly outscore the rest
+    tau = (lo + hi) / 2
+
+    report = run_corpus_filter(
+        spark, corpus, str(tmp_path / "w4"),
+        dsir_target=target, dsir_threshold=tau, pack_capacity=32,
+    )
+    assert report["n_dsir"] == 2
+    assert report["n_kept"] == report["n_dsir"]
+    kept = SnapStore(str(tmp_path / "w4")).table("corpus_docs").read(spark)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {3, 4}
