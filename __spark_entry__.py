@@ -1102,6 +1102,23 @@ def q53_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection (packing.select_token_budget): keep
+    the best-quality documents, in (quality desc, doc_id) order, while
+    the cumulative token count fits a 5000-token budget. Quality is the
+    q17 composite rounded to 6 (oracle-proven identical across engines,
+    so the rank order cannot drift); the cumulative sums are exact
+    integers. Engine side ranks via the two-phase scan — never a
+    single-partition window."""
+    from spark_frontier.analytics.packing import select_token_budget
+    from spark_frontier.analytics.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "quality", F.round(quality_score(F.col("text")), 6)
+    )
+    return select_token_budget(docs, token_budget=5000, n_parts=8)
+
+
 def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
     et al. 2022): per doc, the fraction of its word 8-gram positions
@@ -1172,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_budget_allocation": q51_budget_allocation,
         "q52_dup_ngram_signals": q52_dup_ngram_signals,
         "q53_dsir_weights": q53_dsir_weights,
+        "q54_token_budget": q54_token_budget,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1850,6 +1868,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sc.n_feats, 0) AS n_feats,
                    coalesce(sc.logweight, 0.0) AS logweight
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "q54_token_budget": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       round((least({qual_ntok} / 20.0, 1.0)
+                              + (1.0 - least({qual_punct} * 5.0, 1.0))
+                              + least({qual_stop} * 4.0, 1.0)) / 3.0, 6)
+                           AS quality,
+                       CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, quality, n_tokens,
+                       CAST(coalesce(SUM(n_tokens) OVER (
+                           ORDER BY quality DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                           AS cum_before
+                FROM t)
+            SELECT doc_id, quality, n_tokens, cum_before,
+                   cum_before + n_tokens <= 5000 AS selected
+            FROM c
         """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible

@@ -77,6 +77,7 @@ HEADLINE = [
     "q51_budget_allocation",
     "q52_dup_ngram_signals",
     "q53_dsir_weights",
+    "q54_token_budget",
 ]
 
 

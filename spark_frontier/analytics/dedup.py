@@ -540,13 +540,17 @@ def _driver_components(edges: DataFrame) -> DataFrame:
 
     for row in edges.collect():
         a, b = row["src"], row["dst"]
+        # register endpoints even when the union is a no-op (self-loop
+        # or already merged) so every edge vertex reaches the output,
+        # matching the distributed loop's label initialization
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
             # union-by-min keeps the invariant root == component min,
             # so no second pass is needed to pick representatives
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-            parent.setdefault(lo, lo)
 
     rows = [(x, find(x)) for x in sorted(parent)]
     id_type = edges.schema["src"].dataType

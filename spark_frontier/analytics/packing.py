@@ -80,9 +80,12 @@ def pack_sequences(
     for row in sorted(totals, key=lambda r: r["_pid"]):
         prefix[int(row["_pid"])] = acc
         acc += int(row["t"])
+    # empty-input guard: a no-arg create_map() is map<void,void> and
+    # fails to RESOLVE against the int _pid key even though no row
+    # would ever evaluate it
     pmap = F.create_map(
         *[F.lit(x) for kv in prefix.items() for x in kv]
-    ) if prefix else F.create_map()
+    ) if prefix else F.create_map(F.lit(0), F.lit(0))
 
     # phase 3: parallel local cumsum + broadcast prefix
     w = (
@@ -111,4 +114,73 @@ def pack_sequences(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("n_seqs"),
+    )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    token_budget: int,
+    quality_col: str = "quality",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Budget-constrained corpus selection: take the highest-``quality``
+    documents, in (quality desc, id asc) order, until the next document
+    would exceed ``token_budget`` total tokens — the "best B tokens"
+    step that precedes packing when compute, not data, is the limit.
+
+    Greedy-by-rank with a cumulative cutoff is exactly a prefix sum over
+    a sort order, so this reuses pack_sequences' two-phase parallel scan
+    (range partition by the sort key → O(partitions) driver fold →
+    parallel local cumsum) — no single-partition window. A document is
+    selected iff the budget still covers it AFTER everything ranked
+    above it (documents that individually overflow are skipped only if
+    they rank past the cutoff — the contract is prefix-greedy, matching
+    the SQL-window twin, not knapsack).
+
+    Returns every input row: (id_col, quality, n_tokens, cum_before,
+    selected)."""
+    if token_budget < 0:
+        raise ValueError("token_budget must be non-negative")
+    spark = docs.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).cast("double").alias("quality"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    ranged = materialize(
+        d.repartitionByRange(
+            n_parts, F.col("quality").desc(), F.col("doc_id").asc()
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    prefix: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        prefix[int(row["_pid"])] = acc
+        acc += int(row["t"])
+    pmap = F.create_map(
+        *[F.lit(x) for kv in prefix.items() for x in kv]
+    ) if prefix else F.create_map(F.lit(0), F.lit(0))
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        + F.coalesce(F.element_at(pmap, F.col("_pid")), F.lit(0))
+    ).cast("long")
+    return ranged.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        cum_before.alias("cum_before"),
+        (cum_before + F.col("n_tokens") <= F.lit(int(token_budget)))
+        .alias("selected"),
     )

@@ -842,3 +842,26 @@ def test_dsir_logweights_hand_computed(spark):
         assert abs(got[i]["logweight"] - want) < 2e-6, (i, want, got[i])
     assert got[1]["logweight"] == got[2]["logweight"]
     assert got[1]["logweight"] > got[3]["logweight"]
+
+
+def test_select_token_budget_hand_computed(spark):
+    """Budget 10 over quality-ranked docs: rank order (quality desc, id
+    asc), prefix-greedy cutoff mid-stream, partition-count invariant."""
+    from spark_frontier.analytics.packing import select_token_budget
+
+    rows = [
+        (1, 0.9, "a b c d"),        # rank 1: 4 toks, cum 0  -> selected
+        (2, 0.9, "e f g"),          # rank 2 (tie->id): 3, cum 4 -> sel
+        (3, 0.5, "h i j k l"),      # rank 3: 5 toks, cum 7 -> 12 > 10 no
+        (4, 0.4, "m n o"),          # rank 4: cum 12 -> no
+        (5, 0.3, ""),               # 0 toks, cum 15 <= ... 15>10 -> no
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, "
+                                     "text string")
+    for parts in (1, 3):
+        got = {r["doc_id"]: r for r in
+               select_token_budget(df, 10, n_parts=parts).collect()}
+        assert [got[i]["selected"] for i in (1, 2, 3, 4, 5)] == \
+            [True, True, False, False, False]
+        assert [got[i]["cum_before"] for i in (1, 2, 3, 4, 5)] == \
+            [0, 4, 7, 12, 15]
