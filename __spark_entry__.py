@@ -1119,6 +1119,23 @@ def q54_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_token_budget(docs, token_budget=5000, n_parts=8)
 
 
+def q55_safety_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist keyword gating (pii.safety_flags, the C4 "bad words"
+    stage): exact-token category hits + hit density + drop flag, one
+    codegen projection, blocklist inlined as literal predicates. The
+    fixture blocklist is drawn from the synthetic corpus's own
+    vocabulary so densities are non-trivial and the 5% threshold is
+    actually crossed."""
+    from spark_frontier.analytics.pii import safety_flags
+
+    return safety_flags(
+        _t(spark, sf_dir, "documents"),
+        keywords={"perf": ["slow", "spill", "skew"],
+                  "fault": ["crash", "leak", "deadlock"]},
+        max_hit_frac=0.05,
+    )
+
+
 def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
     et al. 2022): per doc, the fraction of its word 8-gram positions
@@ -1190,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_dup_ngram_signals": q52_dup_ngram_signals,
         "q53_dsir_weights": q53_dsir_weights,
         "q54_token_budget": q54_token_budget,
+        "q55_safety_flags": q55_safety_flags,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1888,6 +1906,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM t)
             SELECT doc_id, quality, n_tokens, cum_before,
                    cum_before + n_tokens <= 5000 AS selected
+            FROM c
+        """,
+        "q55_safety_flags": f"""
+            WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_tokens,
+                       CAST(len(list_filter(toks, x -> x IN
+                           ('crash', 'leak', 'deadlock'))) AS INT)
+                           AS n_fault,
+                       CAST(len(list_filter(toks, x -> x IN
+                           ('slow', 'spill', 'skew'))) AS INT) AS n_perf
+                FROM base)
+            SELECT doc_id, n_tokens, n_fault, n_perf,
+                   round((n_fault + n_perf)
+                         / greatest(n_tokens, 1)::DOUBLE, 6) AS hit_frac,
+                   (n_fault + n_perf)
+                       / greatest(n_tokens, 1)::DOUBLE > 0.05 AS drop_doc
             FROM c
         """,
         # q24 (binary image payloads): rows-only — image decode is not

@@ -78,6 +78,7 @@ HEADLINE = [
     "q52_dup_ngram_signals",
     "q53_dsir_weights",
     "q54_token_budget",
+    "q55_safety_flags",
 ]
 
 

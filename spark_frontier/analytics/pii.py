@@ -62,3 +62,64 @@ def pii_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*", *counts, scrub_pii(F.col(text_col)).alias("clean_text")
     )
+
+
+# ---------------------------------------------------------------------------
+# keyword safety filter (blocklist gating, the C4 "bad words" stage)
+
+
+# deliberately mild placeholder vocabulary: the operator contract (token
+# matching, density thresholds, category rollup) is what's under test —
+# a deployment swaps in its real blocklist via the parameter
+SAFETY_KEYWORDS: dict[str, list[str]] = {
+    "violence": ["attack", "destroy", "weapon"],
+    "gambling": ["casino", "jackpot", "betting"],
+    "spamlike": ["viagra", "lottery", "clickbait"],
+}
+
+
+def safety_flags(
+    docs: DataFrame,
+    keywords: dict[str, list[str]] | None = None,
+    max_hit_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist keyword gating (the C4 §2.2 "bad words" filter shape):
+    per document, token hits per category, total hit density, and a
+    drop flag when density exceeds ``max_hit_frac``.
+
+    The blocklist inlines as literal JVM predicates (one
+    whole-stage-codegen projection over the token array — no shuffle,
+    no UDF, no join), which is the right plan at any corpus size
+    because real blocklists are a few thousand words: far below
+    broadcast thresholds, small enough for literal isin chains.
+    Matching is exact-token on the normalized text (the q16 tokens), so
+    a SQL oracle replays it verbatim — and substrings of clean words
+    ("class" vs "ass") can never false-positive the way substring
+    blocklists do."""
+    kw = keywords if keywords is not None else SAFETY_KEYWORDS
+    from spark_frontier.analytics.textstats import tokens
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    cat_counts = [
+        F.size(F.filter(F.col("_toks"), lambda t: t.isin(*words)))
+        .alias(f"n_{cat}")
+        for cat, words in sorted(kw.items())
+    ]
+    out = base.select(F.col(id_col), n.alias("n_tokens"), *cat_counts)
+    total = sum(
+        (F.col(f"n_{cat}") for cat in sorted(kw)), F.lit(0)
+    )
+    return out.select(
+        "*",
+        F.round(
+            total / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 6
+        ).alias("hit_frac"),
+        (
+            total / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            > max_hit_frac
+        ).alias("drop_doc"),
+    )

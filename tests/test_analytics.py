@@ -865,3 +865,27 @@ def test_select_token_budget_hand_computed(spark):
             [True, True, False, False, False]
         assert [got[i]["cum_before"] for i in (1, 2, 3, 4, 5)] == \
             [0, 4, 7, 12, 15]
+
+
+def test_safety_flags_hand_computed(spark):
+    """Known token hits per category; density threshold behavior; clean
+    substrings ('classy' vs blocklisted 'class') never match."""
+    from spark_frontier.analytics.pii import safety_flags
+
+    kw = {"x": ["bad", "worse"], "y": ["ugly"]}
+    rows = [
+        (1, "bad worse ugly and seventeen more clean tokens here now ok"),
+        (2, "all clean text with nothing blocked at all"),
+        (3, "badly classy estimates"),        # substrings must NOT match
+        (4, "bad " * 10),                     # pure blocklist -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           safety_flags(df, keywords=kw, max_hit_frac=0.2).collect()}
+    assert (got[1]["n_x"], got[1]["n_y"]) == (2, 1)
+    assert got[1]["hit_frac"] == round(3 / 11, 6)
+    assert got[1]["drop_doc"]              # 27% > 20%
+    assert (got[2]["n_x"], got[2]["n_y"]) == (0, 0)
+    assert not got[2]["drop_doc"]
+    assert (got[3]["n_x"], got[3]["n_y"]) == (0, 0)
+    assert got[4]["drop_doc"] and got[4]["hit_frac"] == 1.0
