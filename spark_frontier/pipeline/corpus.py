@@ -5,10 +5,11 @@ Chains the analytics operators the engine already oracle-checks one by
 one (q16-q19, q21, q30, q43, q47, q49, q50, q12, q34, q52) into the
 funnel a 100 TB pretraining pipeline actually runs:
 
-    lang-ID → quality score → Gopher repetition → exact dedup →
-    MinHash near-dup clusters → cross-doc dup-ngram drop →
-    benchmark decontamination → SemDeDup (optional, needs embeddings) →
-    stratified source mix (optional) → sequence packing
+    lang-ID → quality score → Gopher repetition → safety blocklist
+    (optional) → exact dedup → MinHash near-dup clusters → cross-doc
+    dup-ngram drop → benchmark decontamination → DSIR target selection
+    (optional) → SemDeDup (optional, needs embeddings) → stratified
+    source mix (optional) → sequence packing
 
 Scale shape: the cheap per-document signals (lang, quality, token
 count) are ONE JVM projection and their funnel counts ONE aggregate —
@@ -45,6 +46,8 @@ def run_corpus_filter(
     neardup_threshold: float = 0.5,
     dup_gram_threshold: float = 0.5,
     decontam_n: int = 8,
+    safety_keywords: dict[str, list[str]] | None = None,
+    safety_max_hit_frac: float = 0.05,
     dsir_target: DataFrame | None = None,
     dsir_threshold: float = 0.0,
     semdedup_threshold: float = 0.9,
@@ -86,8 +89,18 @@ def run_corpus_filter(
     rep = repetition_signals(docs).select(
         "doc_id", "dup_word_frac", "top_bigram_frac"
     )
+    base = docs.select("doc_id", "text", "source")
+    if safety_keywords is not None:
+        from spark_frontier.analytics.pii import safety_flags
+
+        saf = safety_flags(
+            docs, keywords=safety_keywords, max_hit_frac=safety_max_hit_frac
+        ).select("doc_id", F.col("drop_doc").alias("_saf_drop"))
+        base = base.join(saf, "doc_id", "left")
+    else:
+        base = base.withColumn("_saf_drop", F.lit(False))
     sig = materialize(
-        docs.select("doc_id", "text", "source")
+        base
         .join(rep, "doc_id", "left")
         .select(
             "doc_id",
@@ -98,6 +111,7 @@ def run_corpus_filter(
             token_count(F.col("text")).alias("n_tokens"),
             "dup_word_frac",
             "top_bigram_frac",
+            (~F.coalesce("_saf_drop", F.lit(False))).alias("safety_ok"),
         )
         .withColumn("lang_ok", F.col("lang").isin(*allowed_langs))
         .withColumn("quality_ok", F.col("quality") >= min_quality)
@@ -118,13 +132,19 @@ def run_corpus_filter(
             (F.col("lang_ok") & F.col("quality_ok") & F.col("rep_ok"))
             .cast("long")
         ).alias("n_repetition"),
+        F.sum(
+            (F.col("lang_ok") & F.col("quality_ok") & F.col("rep_ok")
+             & F.col("safety_ok")).cast("long")
+        ).alias("n_safety"),
     ).first()
     report.update({k: int(funnel[k]) for k in
                    ("n_input", "n_lang", "n_quality", "n_repetition")})
+    if safety_keywords is not None:
+        report["n_safety"] = int(funnel["n_safety"])
 
     live = materialize(
-        sig.filter("lang_ok AND quality_ok AND rep_ok")
-        .drop("lang_ok", "quality_ok", "rep_ok")
+        sig.filter("lang_ok AND quality_ok AND rep_ok AND safety_ok")
+        .drop("lang_ok", "quality_ok", "rep_ok", "safety_ok")
     )
 
     # ---- exact dedup: keep the min doc_id per normalized-text hash

@@ -182,3 +182,21 @@ def test_corpus_filter_dsir_stage(spark, corpus, tmp_path):
     kept = SnapStore(str(tmp_path / "w4")).table("corpus_docs").read(spark)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert ids == {3, 4}
+
+
+def test_corpus_filter_safety_stage(spark, corpus, tmp_path):
+    """A blocklist drawn from one doc's own tokens drops exactly that
+    doc inside the cheap-signal pass (n_safety key present and -1)."""
+    import hashlib
+
+    blocked = [hashlib.md5(f"7-{j}".encode()).hexdigest()[:6]
+               for j in range(20)]  # doc 7's unique tokens
+    report = run_corpus_filter(
+        spark, corpus, str(tmp_path / "w5"),
+        safety_keywords={"test": blocked}, safety_max_hit_frac=0.2,
+        pack_capacity=32,
+    )
+    assert report["n_safety"] == report["n_repetition"] - 1
+    kept = SnapStore(str(tmp_path / "w5")).table("corpus_docs").read(spark)
+    assert kept.filter("doc_id = 7").count() == 0
+    assert kept.filter("doc_id = 8").count() == 1
