@@ -156,8 +156,16 @@ def kmeans_fit(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
+    # Lloyd re-scans the corpus once per iteration (init + n_iter
+    # assignment passes); persist the two-column projection so every
+    # pass after the first reads executor-local blocks instead of
+    # re-running the upstream plan — the standard MLlib choice, sized
+    # by the projection (id + vector), never the source table
+    embeddings = embeddings.select(id_col, vec_col).persist()
+
     first = embeddings.select(vec_col).first()
     if first is None:
+        embeddings.unpersist()
         raise ValueError("empty corpus")
     dim = len(first[vec_col])
     # deterministic, SQL-replayable init: md5-hex order, id tie-break
@@ -202,6 +210,7 @@ def kmeans_fit(
         for k, v in acc.items():
             new_c[k] = v / cnt[k]
         centroids = new_c
+    embeddings.unpersist()
     return centroids
 
 
