@@ -32,6 +32,65 @@ from spark_frontier.storage.materialize import materialize
 from spark_frontier.storage.snapstore import SnapStore
 
 
+def cheap_signals(
+    docs: DataFrame,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    max_dup_word_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+    safety_keywords: dict[str, list[str]] | None = None,
+    safety_max_hit_frac: float = 0.05,
+) -> DataFrame:
+    """The funnel's single-pass per-document signal projection: lang,
+    quality, token count, Gopher repetition, optional safety blocklist —
+    plus the four gate flags (lang_ok, quality_ok, rep_ok, safety_ok).
+    Shared by the batch funnel and the streaming ingest so their gate
+    semantics can never drift."""
+    from spark_frontier.analytics.textstats import (
+        lang_id,
+        quality_score,
+        repetition_signals,
+        token_count,
+    )
+
+    rep = repetition_signals(docs).select(
+        "doc_id", "dup_word_frac", "top_bigram_frac"
+    )
+    base = docs.select("doc_id", "text", "source")
+    if safety_keywords is not None:
+        from spark_frontier.analytics.pii import safety_flags
+
+        saf = safety_flags(
+            docs, keywords=safety_keywords, max_hit_frac=safety_max_hit_frac
+        ).select("doc_id", F.col("drop_doc").alias("_saf_drop"))
+        base = base.join(saf, "doc_id", "left")
+    else:
+        base = base.withColumn("_saf_drop", F.lit(False))
+    return (
+        base
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            lang_id(F.col("text")).alias("lang"),
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+            "dup_word_frac",
+            "top_bigram_frac",
+            (~F.coalesce("_saf_drop", F.lit(False))).alias("safety_ok"),
+        )
+        .withColumn("lang_ok", F.col("lang").isin(*allowed_langs))
+        .withColumn("quality_ok", F.col("quality") >= min_quality)
+        .withColumn(
+            "rep_ok",
+            (F.coalesce("dup_word_frac", F.lit(0.0)) <= max_dup_word_frac)
+            & (F.coalesce("top_bigram_frac", F.lit(0.0))
+               <= max_top_bigram_frac),
+        )
+    )
+
+
 def run_corpus_filter(
     spark: SparkSession,
     docs: DataFrame,
@@ -74,54 +133,21 @@ def run_corpus_filter(
     )
     from spark_frontier.analytics.packing import pack_sequences
     from spark_frontier.analytics.sampling import stratified_mix
-    from spark_frontier.analytics.textstats import (
-        lang_id,
-        quality_score,
-        repetition_signals,
-        token_count,
-    )
 
     batch_ts = batch_ts or datetime.now(timezone.utc)
     store = SnapStore(store_root)
     report: dict = {"batch_ts": batch_ts.isoformat()}
 
     # ---- cheap per-doc signals: ONE projection, ONE funnel aggregate
-    rep = repetition_signals(docs).select(
-        "doc_id", "dup_word_frac", "top_bigram_frac"
-    )
-    base = docs.select("doc_id", "text", "source")
-    if safety_keywords is not None:
-        from spark_frontier.analytics.pii import safety_flags
-
-        saf = safety_flags(
-            docs, keywords=safety_keywords, max_hit_frac=safety_max_hit_frac
-        ).select("doc_id", F.col("drop_doc").alias("_saf_drop"))
-        base = base.join(saf, "doc_id", "left")
-    else:
-        base = base.withColumn("_saf_drop", F.lit(False))
-    sig = materialize(
-        base
-        .join(rep, "doc_id", "left")
-        .select(
-            "doc_id",
-            "text",
-            "source",
-            lang_id(F.col("text")).alias("lang"),
-            F.round(quality_score(F.col("text")), 6).alias("quality"),
-            token_count(F.col("text")).alias("n_tokens"),
-            "dup_word_frac",
-            "top_bigram_frac",
-            (~F.coalesce("_saf_drop", F.lit(False))).alias("safety_ok"),
-        )
-        .withColumn("lang_ok", F.col("lang").isin(*allowed_langs))
-        .withColumn("quality_ok", F.col("quality") >= min_quality)
-        .withColumn(
-            "rep_ok",
-            (F.coalesce("dup_word_frac", F.lit(0.0)) <= max_dup_word_frac)
-            & (F.coalesce("top_bigram_frac", F.lit(0.0))
-               <= max_top_bigram_frac),
-        )
-    )
+    sig = materialize(cheap_signals(
+        docs,
+        allowed_langs=allowed_langs,
+        min_quality=min_quality,
+        max_dup_word_frac=max_dup_word_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        safety_keywords=safety_keywords,
+        safety_max_hit_frac=safety_max_hit_frac,
+    ))
     funnel = sig.agg(
         F.count("*").alias("n_input"),
         F.sum(F.col("lang_ok").cast("long")).alias("n_lang"),
