@@ -1136,6 +1136,25 @@ def q55_safety_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (bpe.bpe_train, Sennrich et al. 2016):
+    the first 16 learned merges over the corpus, trained on the
+    word-frequency table (the only corpus-sized job is the word count).
+    ROWS-ONLY by design: each round's winning pair depends on the data,
+    so a SQL twin would have to embed the answers it is supposed to
+    check; exactness is pinned by the pure-Python reference parity test
+    (tests/test_bpe.py) instead."""
+    from spark_frontier.analytics.bpe import bpe_train
+
+    merges = bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=16, min_count=2
+    )
+    rows = [(i, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
 def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
     et al. 2022): per doc, the fraction of its word 8-gram positions
@@ -1208,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_dsir_weights": q53_dsir_weights,
         "q54_token_budget": q54_token_budget,
         "q55_safety_flags": q55_safety_flags,
+        "q56_bpe_merges": q56_bpe_merges,
         "q24_image_stats": q24_image_stats,
     }
 

@@ -79,6 +79,7 @@ HEADLINE = [
     "q53_dsir_weights",
     "q54_token_budget",
     "q55_safety_flags",
+    "q56_bpe_merges",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Byte-pair-encoding tokenizer training, DataFrame-native.
+
+Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units"): start from characters, repeatedly merge the most
+frequent adjacent symbol pair. The classic formulation trains on the
+WORD-FREQUENCY table, not the raw corpus — and that is exactly the
+right Spark shape for 100 TB:
+
+  - ONE corpus-sized job: tokens explode → groupBy(word) → count.
+    Everything after operates on the word-frequency table.
+  - the merge loop runs on the COLLECTED table. This is deliberate, not
+    a shortcut: the vocab is 10^5-10^7 rows at web scale (a word +
+    count is ~30 bytes — tens of MB, driver-trivial), while the merge
+    loop is inherently sequential (round k+1's pair counts depend on
+    round k's merge) — a distributed formulation pays 2 Spark jobs +
+    a python-UDF worker round per merge, i.e. ~100k jobs for a real
+    32k-merge vocabulary. Every production BPE trainer (Sennrich's
+    subword-nmt, HuggingFace tokenizers) does exactly this: distributed
+    corpora, driver-side merge loop over word counts. ``max_vocab``
+    guards the collect; above it, train on the top-``max_vocab`` words
+    by count (deterministic tie-break) — the standard frequency cutoff.
+  - the merge list (the tokenizer) is O(n_merges) driver state.
+
+The merge sequence is fully deterministic for a fixed corpus, but each
+round's winning pair depends on data, so no SQL oracle can replay it
+without embedding the answer — q56 is rows-only by design; exactness is
+pinned instead by a pure-Python reference implementation in pytest
+(``test_bpe_matches_reference``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from spark_frontier.analytics.textstats import tokens
+
+END = "</w>"  # end-of-word marker, merged like any other symbol
+
+
+def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) frequency table — the single corpus-sized pass."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _apply_merge(syms: tuple, left: str, right: str) -> tuple:
+    """Leftmost-first, non-overlapping single-pair merge — the
+    subword-nmt reference semantics."""
+    res: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            res.append(left + right)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return tuple(res)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 32,
+    min_count: int = 2,
+    max_vocab: int = 2_000_000,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    list [(left, right, pair_count), ...] in training order — the
+    tokenizer artifact ``bpe_encode`` replays. Stops early when the best
+    remaining pair occurs fewer than ``min_count`` times. Ties break
+    (count desc, left asc, right asc) — deterministic across runs and
+    partitionings. See the module docstring for why the merge loop is
+    driver-side over the collected word-frequency table."""
+    from collections import Counter
+
+    wt = _word_table(docs, text_col)
+    rows = (
+        wt.orderBy(F.col("n").desc(), F.col("word"))
+        .limit(int(max_vocab))
+        .collect()
+    )
+    vocab: dict[tuple, int] = {
+        tuple(list(r["word"]) + [END]): int(r["n"]) for r in rows
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (left, right), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        merges.append((left, right, int(c)))
+        vocab = {
+            _apply_merge(s, left, right): n for s, n in vocab.items()
+        }
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list: per document, the subword token array
+    and its length. One Arrow-batched UDF pass; the merge list rides the
+    closure (a few KB — the artifact is O(n_merges))."""
+    order = [(l, r) for l, r, _ in merges]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        out = []
+        for text in texts:
+            words = re.sub(r"\s+", " ", (text or "").lower().strip()).split()
+            doc_toks: list[str] = []
+            for w in words:
+                syms = list(w) + [END]
+                for left, right in order:
+                    i, res = 0, []
+                    n = len(syms)
+                    while i < n:
+                        if (i + 1 < n and syms[i] == left
+                                and syms[i + 1] == right):
+                            res.append(left + right)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                doc_toks.extend(syms)
+            out.append(doc_toks)
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col),
+        _encode(F.col(text_col)).alias("subwords"),
+    ).select(
+        id_col, "subwords", F.size("subwords").alias("n_subwords")
+    )
