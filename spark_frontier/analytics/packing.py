@@ -42,6 +42,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_parts: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign each document its place in the concat-and-chunk token
     stream. Returns one row per input document:
@@ -53,16 +54,22 @@ def pack_sequences(
     ``capacity``-token sequence the document occupies, and ``n_seqs``
     how many it spans (0 for empty documents, which consume no stream
     positions). Tokenization is ``textstats.token_count`` — the same
-    rule q16 oracle-checks."""
+    rule q16 oracle-checks — unless ``count_col`` names a precomputed
+    per-document token count (e.g. ``bpe_encode``'s n_subwords), in
+    which case the stream is measured in THOSE units."""
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     spark = docs.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
 
+    counts = (
+        F.col(count_col) if count_col is not None
+        else token_count(F.col(text_col))
+    )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        counts.cast("long").alias("n_tokens"),
     )
     # phase 1: range partition the tiny projection; pin the partition id
     # as data so the totals pass and the cumsum pass cannot disagree

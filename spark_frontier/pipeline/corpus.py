@@ -112,6 +112,8 @@ def run_corpus_filter(
     semdedup_threshold: float = 0.9,
     semdedup_centroids: int = 8,
     pack_capacity: int = 2048,
+    pack_tokens: str = "whitespace",
+    bpe_merges: int = 64,
     quotas: dict[str, int] | None = None,
     batch_ts: datetime | None = None,
 ) -> dict:
@@ -261,8 +263,33 @@ def run_corpus_filter(
         if k in report
     )
 
-    # ---- packing assignments over the kept set
-    packing = pack_sequences(live, capacity=pack_capacity)
+    # ---- packing assignments over the kept set; optionally measured in
+    # learned BPE subwords (the tokenizer trains on the FILTERED corpus,
+    # like a production run, and its merge table commits as an artifact)
+    if pack_tokens == "bpe":
+        from spark_frontier.analytics.bpe import bpe_encode, bpe_train
+
+        merges = bpe_train(live, n_merges=bpe_merges)
+        enc = bpe_encode(live, merges).select("doc_id", "n_subwords")
+        packing = pack_sequences(
+            live.join(enc, "doc_id"),
+            capacity=pack_capacity,
+            count_col="n_subwords",
+        )
+        store.table("corpus_bpe_merges").overwrite(
+            spark.createDataFrame(
+                [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+                "merge_rank int, left string, right string, "
+                "pair_count long",
+            ),
+            summary={"op": "corpus_filter_bpe", "n_merges": len(merges)},
+            small=True,
+        )
+        report["n_bpe_merges"] = len(merges)
+    elif pack_tokens == "whitespace":
+        packing = pack_sequences(live, capacity=pack_capacity)
+    else:
+        raise ValueError(f"unknown pack_tokens mode: {pack_tokens!r}")
     n_seq = packing.agg(
         (F.max(F.col("seq_last")) + 1).alias("n")
     ).first()["n"]

@@ -200,3 +200,29 @@ def test_corpus_filter_safety_stage(spark, corpus, tmp_path):
     kept = SnapStore(str(tmp_path / "w5")).table("corpus_docs").read(spark)
     assert kept.filter("doc_id = 7").count() == 0
     assert kept.filter("doc_id = 8").count() == 1
+
+
+def test_corpus_filter_bpe_packing(spark, corpus, tmp_path):
+    """pack_tokens='bpe': the tokenizer trains on the FILTERED corpus,
+    the merge table commits as an artifact, and the packing stream is
+    measured in subwords (strictly more units than whitespace words)."""
+    report = run_corpus_filter(
+        spark, corpus, str(tmp_path / "w6"),
+        pack_tokens="bpe", bpe_merges=8, pack_capacity=64,
+    )
+    assert report["n_bpe_merges"] == 8
+    st = SnapStore(str(tmp_path / "w6"))
+    merges = st.table("corpus_bpe_merges").read(spark)
+    assert merges.count() == 8
+    packing = st.table("corpus_packing").read(spark)
+    kept = st.table("corpus_docs").read(spark)
+    # subword stream >= word stream for every doc (merges only start
+    # from characters; 8 merges can't reach whole-word tokens here)
+    joined = packing.alias("p").join(
+        kept.select("doc_id", F.col("n_tokens").alias("n_words")),
+        "doc_id",
+    )
+    bad = joined.filter("n_tokens < n_words").count()
+    assert bad == 0
+    tot = packing.agg(F.sum("n_tokens")).first()[0]
+    assert report["n_sequences"] == (tot + 63) // 64
