@@ -1155,6 +1155,37 @@ def q56_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shard_corpus_pdf():
+    """Deterministic mixed-aspect image corpus for q57: three size
+    groups (4:3, 3:4, 4:1), one of them ragged against batch_size=8 so
+    the is_full=False tail branch is exercised. Shared by the Spark
+    query and the oracle's literal VALUES (the q35 pattern)."""
+    import pandas as pd
+
+    from spark_frontier.pipeline.synth import gen_image_corpus
+
+    groups = {"a": (12, 32, 24), "b": (13, 24, 32), "c": (12, 48, 12)}
+    frames = []
+    for tag, (n_base, w, h) in groups.items():
+        pdf = gen_image_corpus(n_base, 1, w=w, h=h)[
+            ["image_id", "w", "h"]
+        ].copy()
+        pdf["image_id"] = tag + "-" + pdf["image_id"]
+        frames.append(pdf)
+    return pd.concat(frames, ignore_index=True)
+
+
+def q57_image_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio-bucketed shard assignment
+    (multimodal.assign_image_shards): integer bucket key, md5 hash
+    shuffle inside the bucket, fixed-size shard cut, ragged-tail flag.
+    One shuffle on the bucket key; both windows share it."""
+    from spark_frontier.analytics.multimodal import assign_image_shards
+
+    images = spark.createDataFrame(_shard_corpus_pdf()).coalesce(4)
+    return assign_image_shards(images, batch_size=8)
+
+
 def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
     et al. 2022): per doc, the fraction of its word 8-gram positions
@@ -1228,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_token_budget": q54_token_budget,
         "q55_safety_flags": q55_safety_flags,
         "q56_bpe_merges": q56_bpe_merges,
+        "q57_image_shards": q57_image_shards,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1946,9 +1978,45 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(n_tokens, 1)::DOUBLE > 0.05 AS drop_doc
             FROM c
         """,
+        "q57_image_shards": _q57_oracle(),
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible
     }
+
+
+def _q57_oracle() -> str:
+    """DuckDB twin of q57: the same deterministic (image_id, w, h)
+    corpus as VALUES literals (the q35 pattern), then the identical
+    integer bucket key, md5-hash-shuffle row_number, shard cut, and
+    ragged-tail rule."""
+    vals = ",\n            ".join(
+        f"('{r.image_id}', {int(r.w)}, {int(r.h)})"
+        for r in _shard_corpus_pdf().itertuples()
+    )
+    h60 = _H60.format(x="image_id")
+    return f"""
+        WITH images(image_id, w, h) AS (VALUES
+            {vals}),
+        b AS (
+            SELECT image_id,
+                   CAST(w AS BIGINT) AS w,
+                   CAST(h AS BIGINT) AS h,
+                   CAST((w * 1000) // h AS BIGINT) AS aspect_bucket,
+                   {h60} AS shuf
+            FROM images),
+        r AS (
+            SELECT image_id, w, h, aspect_bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY aspect_bucket
+                       ORDER BY shuf, image_id) - 1 AS rk,
+                   COUNT(*) OVER (PARTITION BY aspect_bucket) AS n
+            FROM b)
+        SELECT image_id, w, h, aspect_bucket,
+               rk // 8 AS shard_id,
+               CAST(rk % 8 AS INT) AS pos_in_shard,
+               rk // 8 < n // 8 AS is_full
+        FROM r
+    """
 
 
 def _phash_values_sql() -> str:

@@ -80,6 +80,7 @@ HEADLINE = [
     "q54_token_budget",
     "q55_safety_flags",
     "q56_bpe_merges",
+    "q57_image_shards",
 ]
 
 

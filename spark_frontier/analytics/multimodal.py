@@ -312,3 +312,59 @@ def frame_sample(video_blob: bytes, n_frames: int) -> list[bytes]:  # pragma: no
     """STUB: video frame sampling seam (evenly spaced frame extraction).
     Real deployments plug pyav/ffmpeg here."""
     raise NotImplementedError("video decode requires pyav/ffmpeg")
+
+
+def assign_image_shards(
+    images: DataFrame,
+    batch_size: int = 64,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Training-shard assignment for image(+caption) corpora: bucket by
+    aspect ratio, shuffle deterministically within the bucket, cut into
+    fixed-size shards — the standard aspect-ratio-bucketed batching
+    (SDXL-style) that avoids destructive square-cropping while keeping
+    every batch tensor-shaped.
+
+    Bucket key is the INTEGER (w·1000) div h, so no float ever enters a
+    group key (an oracle replays it exactly). In-bucket order is the
+    md5(id) hash shuffle (``sampling`` module convention) — reproducible
+    across runs, partitionings, and engines. A shard is ``is_full``
+    when the bucket had enough members to fill it; training drops the
+    ragged tail shard, so the flag is the consumer's filter.
+
+    Plan shape: one shuffle on the bucket key; both windows share that
+    partitioning. Buckets are independent — skew is bounded by the
+    largest aspect bucket, and batch_size cutting is positional within
+    the bucket, so no global sort exists anywhere."""
+    from pyspark.sql import Window
+
+    from spark_frontier.analytics.dedup import md5_hash60
+
+    bucket = F.expr(f"({w_col} * 1000) div {h_col}").cast("long")
+    w = Window.partitionBy("aspect_bucket").orderBy(
+        "_shuffle", F.col(id_col)
+    )
+    wc = Window.partitionBy("aspect_bucket")
+    out = (
+        images.select(
+            F.col(id_col),
+            F.col(w_col),
+            F.col(h_col),
+            bucket.alias("aspect_bucket"),
+            md5_hash60(F.col(id_col)).alias("_shuffle"),
+        )
+        .withColumn("_rk", F.row_number().over(w) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+    )
+    b = int(batch_size)
+    return out.select(
+        id_col,
+        w_col,
+        h_col,
+        "aspect_bucket",
+        F.expr(f"_rk div {b}").cast("long").alias("shard_id"),
+        (F.col("_rk") % b).cast("int").alias("pos_in_shard"),
+        (F.expr(f"_rk div {b}") < F.expr(f"_n div {b}")).alias("is_full"),
+    )

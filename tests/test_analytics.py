@@ -889,3 +889,36 @@ def test_safety_flags_hand_computed(spark):
     assert not got[2]["drop_doc"]
     assert (got[3]["n_x"], got[3]["n_y"]) == (0, 0)
     assert got[4]["drop_doc"] and got[4]["hit_frac"] == 1.0
+
+
+def test_assign_image_shards_invariants(spark):
+    """Every full shard has exactly batch_size members of ONE aspect
+    bucket; ragged tails are flagged; assignment is deterministic and
+    partitioning-independent."""
+    from spark_frontier.analytics.multimodal import assign_image_shards
+
+    rows = []
+    for i in range(19):
+        rows.append((f"p{i:03d}", 32, 24))   # bucket 1333, 19 imgs (ragged)
+    for i in range(16):
+        rows.append((f"q{i:03d}", 24, 32))   # bucket 750, 16 imgs (even)
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    a = sorted(map(tuple,
+                   assign_image_shards(df, batch_size=8).collect()))
+    b = sorted(map(tuple, assign_image_shards(
+        df.repartition(7), batch_size=8).collect()))
+    assert a == b and len(a) == 35
+
+    from collections import defaultdict
+    shards = defaultdict(list)
+    for (iid, w, h, bucket, shard, pos, full) in a:
+        shards[(bucket, shard)].append((pos, full, iid))
+    for (bucket, shard), members in shards.items():
+        poss = sorted(p for p, _, _ in members)
+        assert poss == list(range(len(members)))
+        fulls = {f for _, f, _ in members}
+        assert len(fulls) == 1
+        assert (len(members) == 8) == fulls.pop()
+    # 19 -> 2 full + ragged 3; 16 -> 2 full, no tail
+    n_full = sum(1 for k, m in shards.items() if len(m) == 8)
+    assert n_full == 4
