@@ -91,3 +91,32 @@ def test_corpus_stream_incremental_dedup(spark, tmp_path_factory):
     assert out.count() == n1 + 1
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 300 in ids and not ids & {200, 201, 202}
+
+
+def test_corpus_stream_bloom_parity(spark, tmp_path_factory):
+    """Bloom on vs off produce the IDENTICAL fingerprint set (the probe
+    short-circuits, never decides), and the committed bloom's
+    provenance covers the corpus head after the drain."""
+    rows = [(i, _doc(i % 7), "web") for i in range(40)]  # heavy dups
+    src = str(tmp_path_factory.mktemp("docstream3"))
+    _write_docs(spark, rows, src, n_files=6)
+
+    outs = {}
+    for flag in (True, False):
+        store_root = str(tmp_path_factory.mktemp(f"cstore_{flag}"))
+        q = start_corpus_stream(
+            spark, src, store_root,
+            str(tmp_path_factory.mktemp(f"ck_{flag}")),
+            max_files_per_trigger=2, use_bloom=flag,
+        )
+        q.awaitTermination(120)
+        st = SnapStore(store_root)
+        tbl = st.table("corpus_docs").read(spark)
+        outs[flag] = sorted(r["fingerprint"] for r in tbl.collect())
+        if flag:
+            bloom = st.table("corpus_bloom")
+            assert bloom.read(spark) is not None
+            assert bloom.summary()["covers"] == \
+                st.table("corpus_docs").snapshot_id
+    assert outs[True] == outs[False]
+    assert len(outs[True]) == 7  # one survivor per distinct text
