@@ -1186,6 +1186,38 @@ def q57_image_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_image_shards(images, batch_size=8)
 
 
+def q58_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: the rollup a data-mix owner
+    reads before setting quotas — doc counts, mean quality, English
+    fraction, mean length, and the share clearing the default quality
+    gate. One shuffle on `source`; every per-row expression is the
+    oracle-proven q16/q17/q18 family."""
+    from spark_frontier.analytics.textstats import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    per_row = docs.select(
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    return per_row.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(
+            F.avg((F.col("lang") == "en").cast("double")), 6
+        ).alias("en_frac"),
+        F.round(F.avg(F.col("nt").cast("double")), 6).alias("avg_tokens"),
+        F.round(
+            F.avg((F.col("q") >= 0.3).cast("double")), 6
+        ).alias("pass_frac"),
+    )
+
+
 def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
     et al. 2022): per doc, the fraction of its word 8-gram positions
@@ -1260,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_safety_flags": q55_safety_flags,
         "q56_bpe_merges": q56_bpe_merges,
         "q57_image_shards": q57_image_shards,
+        "q58_source_health": q58_source_health,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -1979,6 +2012,32 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "q57_image_shards": _q57_oracle(),
+        "q58_source_health": f"""
+            WITH s AS (
+                SELECT source,
+                       round((least({qual_ntok} / 20.0, 1.0)
+                              + (1.0 - least({qual_punct} * 5.0, 1.0))
+                              + least({qual_stop} * 4.0, 1.0)) / 3.0, 6)
+                           AS q,
+                       {_lang_score('de')} AS s_de,
+                       {_lang_score('en')} AS s_en,
+                       {_lang_score('es')} AS s_es,
+                       {_lang_score('fr')} AS s_fr,
+                       len({_TOKENS}) AS nt
+                FROM documents),
+            m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS m FROM s)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(q), 6) AS avg_quality,
+                   -- lang=='en' iff the max is positive AND en wins the
+                   -- alphabetical first-match (de outranks en on ties)
+                   round(avg(CASE WHEN m > 0 AND s_de <> m AND s_en = m
+                                  THEN 1.0 ELSE 0.0 END), 6) AS en_frac,
+                   round(avg(nt::DOUBLE), 6) AS avg_tokens,
+                   round(avg(CASE WHEN q >= 0.3 THEN 1.0 ELSE 0.0 END), 6)
+                       AS pass_frac
+            FROM m GROUP BY source
+        """,
         # q24 (binary image payloads): rows-only — image decode is not
         # SQL-expressible
     }

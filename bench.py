@@ -81,6 +81,7 @@ HEADLINE = [
     "q55_safety_flags",
     "q56_bpe_merges",
     "q57_image_shards",
+    "q58_source_health",
 ]
 
 

@@ -34,6 +34,18 @@ def main() -> int:
     p.add_argument("--capacity", type=int, default=2048)
     p.add_argument("--quotas", default=None,
                    help="JSON dict source -> quota for the stratified mix")
+    p.add_argument("--safety-keywords", default=None,
+                   help="JSON dict category -> [blocked tokens] enabling "
+                        "the safety gate")
+    p.add_argument("--dsir-target", default=None,
+                   help="parquet path of target-domain docs enabling DSIR "
+                        "selection")
+    p.add_argument("--dsir-threshold", type=float, default=0.0)
+    p.add_argument("--pack-tokens", default="whitespace",
+                   choices=["whitespace", "bpe"],
+                   help="packing stream units; 'bpe' trains the tokenizer "
+                        "on the filtered corpus and commits its merges")
+    p.add_argument("--bpe-merges", type=int, default=64)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,7 +69,14 @@ def main() -> int:
         allowed_langs=tuple(args.langs.split(",")),
         min_quality=args.min_quality,
         pack_capacity=args.capacity,
+        pack_tokens=args.pack_tokens,
+        bpe_merges=args.bpe_merges,
         quotas=json.loads(args.quotas) if args.quotas else None,
+        safety_keywords=(json.loads(args.safety_keywords)
+                         if args.safety_keywords else None),
+        dsir_target=(spark.read.parquet(args.dsir_target)
+                     if args.dsir_target else None),
+        dsir_threshold=args.dsir_threshold,
     )
     print(json.dumps(report))
     return 0
