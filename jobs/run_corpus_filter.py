@@ -22,7 +22,12 @@ import sys
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--docs", default=None, help="documents parquet path")
+    p.add_argument("--docs-store", default=None,
+                   help="read input docs from this SnapStore's corpus_docs "
+                        "table instead of --docs — the periodic global-"
+                        "dedup compaction pass over a stream-ingested "
+                        "store (see streaming/corpus_stream.py)")
     p.add_argument("--store", required=True, help="SnapStore warehouse root")
     p.add_argument("--embeddings", default=None,
                    help="embeddings parquet (vec_id aligned to doc_id) "
@@ -54,7 +59,17 @@ def main() -> int:
 
     from spark_frontier.pipeline.corpus import run_corpus_filter
 
-    docs = spark.read.parquet(args.docs)
+    if bool(args.docs) == bool(args.docs_store):
+        p.error("exactly one of --docs / --docs-store is required")
+    if args.docs_store:
+        from spark_frontier.storage import SnapStore
+
+        docs = SnapStore(args.docs_store).table("corpus_docs").read(spark)
+        if docs is None:
+            p.error(f"--docs-store {args.docs_store} has no corpus_docs")
+        docs = docs.select("doc_id", "text", "source")
+    else:
+        docs = spark.read.parquet(args.docs)
     eval_docs = None
     if args.eval_mod:
         eval_docs = docs.filter(f"doc_id % {int(args.eval_mod)} = 0")
