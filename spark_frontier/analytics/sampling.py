@@ -109,12 +109,9 @@ def dsir_logweights(
             )
         )
 
-    def lm_of(bucketed: DataFrame) -> DataFrame:
+    def lm_from_counts(counts: DataFrame) -> tuple[DataFrame, float]:
         """ln p(bucket) with add-one smoothing over the bucket space —
         a ≤ n_buckets-row table with the normalizer inlined."""
-        counts = bucketed.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("c")
-        )
         total = counts.agg(F.sum("c")).first()[0] or 0
         return counts.select(
             "bucket",
@@ -122,12 +119,25 @@ def dsir_logweights(
                   / F.lit(float(total + n_buckets))).alias("lp"),
         ), float(total)
 
-    raw_b = buckets_of(docs)
-    doc_counts = raw_b.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+    from spark_frontier.storage.materialize import materialize
+
+    # ONE corpus pass: the (doc, bucket, count) table is materialized and
+    # feeds BOTH the raw LM (sum over docs) and the scoring join — without
+    # the cut, the raw-LM normalizer action and the final collection each
+    # re-run the corpus explode
+    doc_counts = materialize(
+        buckets_of(docs).groupBy(id_col, "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
-    t_lm, t_total = lm_of(buckets_of(target_docs))
-    r_lm, r_total = lm_of(raw_b)
+    t_lm, t_total = lm_from_counts(
+        buckets_of(target_docs).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    r_lm, r_total = lm_from_counts(
+        doc_counts.groupBy("bucket").agg(F.sum("n").alias("c"))
+    )
     # unseen-bucket log-probs (the smoothing floor) so the broadcast
     # tables stay sparse: missing bucket => ln(1 / (total + B))
     t_floor = -F.log(F.lit(t_total + n_buckets))
