@@ -90,9 +90,15 @@ def start_corpus_stream(
         ).filter("lang_ok AND quality_ok AND rep_ok AND safety_ok").drop(
             "lang_ok", "quality_ok", "rep_ok", "safety_ok"
         )
-        sig = sig.withColumn(
-            "fingerprint", F.md5(normalize_text(F.col("text")))
-        ).withColumn("url_key", F.xxhash64("fingerprint"))
+        # materialize: the signal projection feeds BOTH the exact-dedup
+        # keeper set and the semi-join back onto itself — without the
+        # cut the cheap_signals chain (incl. the repetition explode)
+        # runs twice per micro-batch
+        sig = materialize(
+            sig.withColumn(
+                "fingerprint", F.md5(normalize_text(F.col("text")))
+            ).withColumn("url_key", F.xxhash64("fingerprint"))
+        )
         # within-batch exact dedup (keep the min doc_id per fingerprint)
         keep = exact_dedup(sig).select(F.col("keep_doc_id").alias("doc_id"))
         fresh = sig.join(keep, "doc_id", "semi")
