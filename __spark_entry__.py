@@ -1218,6 +1218,41 @@ def q58_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt Sitemap: directives
+    (robots.sitemap_urls_from_robots — one JVM regexp projection). The
+    fixture synthesizes per-host robots bodies from events with mixed
+    case, indentation, a comment line, and hosts with 0/1/2 directives,
+    so the (?im) extraction is exercised; DuckDB builds the identical
+    strings and replays the same RE2-compatible pattern."""
+    from spark_frontier.politeness.robots import sitemap_urls_from_robots
+
+    hosts = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 41).cast("int").alias("hid"))
+        .distinct()
+    )
+    content = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            F.col("hid") % 3 == 0,
+            F.concat(F.lit("Sitemap: https://h"), F.col("hid"),
+                     F.lit(".example.com/sitemap.xml\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("hid") % 6 == 0,
+            F.concat(F.lit("  sItEmAp:\thttps://h"), F.col("hid"),
+                     F.lit(".example.com/news.xml\n# sitemap: nope\n")),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("hid"), F.lit(".example.com"))
+        .alias("host"),
+        content.alias("content"),
+    )
+    return sitemap_urls_from_robots(robots)
+
+
 def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
     et al. 2022): per doc, the fraction of its word 8-gram positions
@@ -1293,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_bpe_merges": q56_bpe_merges,
         "q57_image_shards": q57_image_shards,
         "q58_source_health": q58_source_health,
+        "q59_robots_sitemaps": q59_robots_sitemaps,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -2012,6 +2048,32 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "q57_image_shards": _q57_oracle(),
+        "q59_robots_sitemaps": r"""
+            WITH h AS (SELECT DISTINCT CAST(user_id % 41 AS INT) AS hid
+                       FROM events),
+            r AS (SELECT 'h' || hid || '.example.com' AS host,
+                         'User-agent: *' || chr(10)
+                         || 'Disallow: /private' || chr(10)
+                         || CASE WHEN hid % 3 = 0
+                                 THEN 'Sitemap: https://h' || hid
+                                      || '.example.com/sitemap.xml'
+                                      || chr(10)
+                                 ELSE '' END
+                         || CASE WHEN hid % 6 = 0
+                                 THEN '  sItEmAp:' || chr(9)
+                                      || 'https://h' || hid
+                                      || '.example.com/news.xml'
+                                      || chr(10) || '# sitemap: nope'
+                                      || chr(10)
+                                 ELSE '' END AS content
+                  FROM h)
+            SELECT DISTINCT host, sitemap_url FROM (
+                SELECT host,
+                       unnest(regexp_extract_all(content,
+                           '(?im)^[ \t]*sitemap:[ \t]*(\S+)', 1))
+                           AS sitemap_url
+                FROM r)
+        """,
         "q58_source_health": f"""
             WITH s AS (
                 SELECT source,

@@ -82,6 +82,7 @@ HEADLINE = [
     "q56_bpe_merges",
     "q57_image_shards",
     "q58_source_health",
+    "q59_robots_sitemaps",
 ]
 
 

@@ -185,3 +185,28 @@ def robots_allowed(
         )
         .drop("_rules")
     )
+
+
+def sitemap_urls_from_robots(robots_docs: DataFrame) -> DataFrame:
+    """Sitemap discovery from robots.txt ``Sitemap:`` directives
+    (sitemaps.org protocol; the directive is group-independent and
+    case-insensitive). BEYOND the reference — its robots handler only
+    answers allow/deny (robots_handler.py) and its sitemap list is
+    operator-configured; a from-scratch frontier should bootstrap
+    un-configured hosts from the directive the protocol provides.
+
+    One JVM projection (regexp_extract_all with inline (?im) flags —
+    no UDF, no shuffle until the distinct), so it rides the same
+    robots_docs scan the rules parse already makes. Returns distinct
+    (host, sitemap_url) rows, feeding ``sitemap.expand`` as extra
+    seeds."""
+    pat = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+    return (
+        robots_docs.select(
+            "host",
+            F.explode(
+                F.regexp_extract_all(F.col("content"), F.lit(pat), 1)
+            ).alias("sitemap_url"),
+        )
+        .distinct()
+    )

@@ -270,3 +270,28 @@ def test_robots_broadcast_gate_shuffle_path_on_many_hosts(spark):
     got_s = {r["id"]: r["robots_allowed"] for r in shuf.collect()}
     assert got_b == got_s
     assert got_s[0] is False and got_s[1] is True  # /private blocked
+
+
+def test_sitemap_urls_from_robots(spark):
+    """Sitemap: directive extraction — case-insensitive, indentation and
+    tab tolerated, comment lines ignored, multiple directives per host,
+    hosts without directives absent."""
+    from spark_frontier.politeness.robots import sitemap_urls_from_robots
+
+    rows = [
+        ("a.com", "User-agent: *\nDisallow: /x\n"
+                  "Sitemap: https://a.com/s1.xml\n"
+                  "  sitemap:\thttps://a.com/s2.xml\n"
+                  "# Sitemap: https://a.com/commented.xml\n"),
+        ("b.com", "SITEMAP: https://b.com/map.xml\nUser-agent: *\n"),
+        ("c.com", "User-agent: *\nDisallow: /\n"),
+        ("d.com", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, content string")
+    got = {(r["host"], r["sitemap_url"])
+           for r in sitemap_urls_from_robots(df).collect()}
+    assert got == {
+        ("a.com", "https://a.com/s1.xml"),
+        ("a.com", "https://a.com/s2.xml"),
+        ("b.com", "https://b.com/map.xml"),
+    }
