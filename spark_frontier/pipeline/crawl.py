@@ -229,6 +229,7 @@ def run_crawl_cycle(
     collect_metrics: bool = True,
     fuse_discovery: bool = False,
     bloom_probe: str = "broadcast",
+    seen_filter: str = "bloom",
     process_within_days: int | None = None,
     report: CycleReport | None = None,
 ) -> CycleReport:
@@ -238,6 +239,13 @@ def run_crawl_cycle(
     ``bloom_probe``: 'broadcast' (default; right while total bitmap size
     fits executor memory) or 'distributed' (cogroup probe, no driver
     collect — the 10^10-key path).
+
+    ``seen_filter``: 'bloom' (default) or 'cuckoo' — same
+    negative-pass-through topology, but the cuckoo variant supports
+    DELETE, so ``retention_cleanup`` removes expired keys in place
+    instead of rebuilding from the full links table (broadcast probe
+    only; exactness is identical — the probe never decides, the exact
+    anti-join does).
 
     ``process_within_days``: the reference's run-once quirk
     (crawl_scheduler.py:367-372): DISCOVER with ``days`` (7) but re-filter
@@ -269,7 +277,7 @@ def run_crawl_cycle(
         return _run_cycle_inner(
             spark, world, store, batch_ts, days, max_per_host, max_waves,
             use_bloom, bloom_segments, stop_after_wave, salt_buckets,
-            collect_metrics, fuse_discovery, bloom_probe,
+            collect_metrics, fuse_discovery, bloom_probe, seen_filter,
             process_within_days, report, _tr,
         )
     finally:
@@ -282,14 +290,19 @@ def run_crawl_cycle(
 def _run_cycle_inner(
     spark, world, store, batch_ts, days, max_per_host, max_waves, use_bloom,
     bloom_segments, stop_after_wave, salt_buckets, collect_metrics,
-    fuse_discovery, bloom_probe, process_within_days, report, _tr,
+    fuse_discovery, bloom_probe, seen_filter, process_within_days, report,
+    _tr,
 ) -> CycleReport:
+    if seen_filter not in ("bloom", "cuckoo"):
+        raise ValueError(f"unknown seen_filter: {seen_filter!r}")
+    if seen_filter == "cuckoo" and bloom_probe != "broadcast":
+        raise ValueError("seen_filter='cuckoo' requires the broadcast probe")
     sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
     seeds = sites.select("site_id", "site_seq", "sitemap_url")
 
     links_tbl = store.table("links")
     host_tbl = store.table("host_state")
-    bloom_tbl = store.table("bloom")
+    bloom_tbl = store.table("bloom" if seen_filter == "bloom" else "cuckoo")
     logs_tbl = store.table("crawl_logs")
 
     # Async state-commit lanes: links / host_state / bloom /
@@ -366,6 +379,54 @@ def _run_cycle_inner(
             if seen is None:
                 seen = spark.createDataFrame([], "url_key long")
                 seen_count = 0
+            elif use_bloom and seen_filter == "cuckoo":
+                # cuckoo variant: same provenance discipline as the bloom
+                # (covers_links + modulus), but capacity lives in the
+                # filter itself (insert raises when full) so there is no
+                # m_bits agg; n_keys rides the summary for the
+                # broadcast-seen gate
+                segments = bloom_tbl.read(spark)
+                if segments is not None:
+                    _cmeta = bloom_tbl.summary()
+                    _cap = (int(_cmeta.get("n_buckets") or 0) * 4
+                            * bloom_segments)
+                    if (_cmeta.get("covers_links") != links_snapshot
+                            or _cmeta.get("n_segments") != bloom_segments
+                            # outgrown (insert would overflow) → rebuild
+                            # bigger, the bloom's capacity-check analogue
+                            or int(_cmeta.get("n_keys") or 0) > 0.8 * _cap):
+                        segments = None
+                    else:
+                        seen_count = _cmeta.get("n_keys")
+                if segments is None:
+                    import math as _math
+
+                    from spark_frontier.functions.cuckoo import (
+                        build_cuckoo_segments,
+                    )
+
+                    n_seen = seen.count()
+                    seen_count = n_seen
+                    # floor + 2× growth headroom at load 0.7: a fresh
+                    # store's filter must absorb whole cycles of inserts
+                    # before the capacity check forces a resize
+                    per_seg = max(
+                        2 * n_seen / (bloom_segments * 4 * 0.7), 1
+                    )
+                    nb = max(1024, 1 << _math.ceil(_math.log2(per_seg)))
+                    segments = build_cuckoo_segments(
+                        seen.select("url_key"), n_segments=bloom_segments,
+                        n_buckets=nb,
+                    ).transform(materialize)
+                    _async(
+                        bloom_tbl.overwrite, segments,
+                        summary={"op": "cuckoo_build",
+                                 "covers_links": links_snapshot,
+                                 "n_segments": bloom_segments,
+                                 "n_buckets": nb,
+                                 "n_keys": n_seen},
+                        small=True, _lane="links",
+                    )
             elif use_bloom:
                 segments = bloom_tbl.read(spark)
                 if segments is not None:
@@ -433,9 +494,22 @@ def _run_cycle_inner(
             # sc.broadcast serialization) off the wave critical path too
             probe_fn = None
             if segments is not None and bloom_probe == "broadcast":
-                from spark_frontier.functions.bloom import might_contain_udf
+                if seen_filter == "cuckoo":
+                    from spark_frontier.functions.cuckoo import (
+                        cuckoo_contains_udf,
+                    )
 
-                probe_fn = might_contain_udf(spark, segments, bloom_segments)
+                    probe_fn = cuckoo_contains_udf(
+                        spark, segments, bloom_segments
+                    )
+                else:
+                    from spark_frontier.functions.bloom import (
+                        might_contain_udf,
+                    )
+
+                    probe_fn = might_contain_udf(
+                        spark, segments, bloom_segments
+                    )
             return (seen, segments, bloom_m_bits, hs, seen_count, hs_rows0,
                     probe_fn)
         finally:
@@ -709,7 +783,50 @@ def _run_cycle_inner(
         # keys, committed with the FINAL links snapshot id as provenance.
         # (Waves never consult the bloom for in-cycle keys — `attempted`
         # covers those — so per-wave bloom commits would be pure overhead.)
-        if use_bloom and segments is not None and wave_key_slices:
+        if (use_bloom and segments is not None and wave_key_slices
+                and seen_filter == "cuckoo"):
+            from functools import reduce
+
+            from spark_frontier.functions.cuckoo import insert_cuckoo_keys
+
+            new_keys = reduce(lambda a, b: a.unionByName(b), wave_key_slices)
+            seg_in = segments
+            n_prior = int(seen_count or 0)
+
+            def _compute_cuckoo_delta():
+                nk = materialize(new_keys.select("url_key"))
+                return materialize(
+                    insert_cuckoo_keys(
+                        seg_in, nk, n_segments=bloom_segments
+                    )
+                ), nk.count()
+
+            fut_ck = _async(_compute_cuckoo_delta, _lane="bloom_compute")
+
+            def _commit_cuckoo_delta():
+                # a failed insert (cycle outgrew the remaining capacity)
+                # SKIPS the commit: the previous filter's covers_links no
+                # longer matches the new links head, so the next cycle's
+                # provenance check rebuilds bigger from the full seen set
+                # — the same self-healing the bloom path relies on
+                try:
+                    merged, n_new = fut_ck.result()
+                except Exception:
+                    return
+                bloom_tbl.overwrite(
+                    merged,
+                    summary={"op": "cuckoo_delta",
+                             "n_segments": bloom_segments,
+                             "n_buckets": bloom_tbl.summary().get(
+                                 "n_buckets"),
+                             "n_keys": n_prior + int(n_new),
+                             "covers_links": links_tbl.snapshot_id},
+                    small=True,
+                )
+
+            _async(_commit_cuckoo_delta, _lane="links")
+            _tr("bloom_delta")
+        elif use_bloom and segments is not None and wave_key_slices:
             from functools import reduce
 
             from spark_frontier.functions.bloom import merge_bloom_segments
@@ -855,13 +972,42 @@ def retention_cleanup(store: SnapStore, spark: SparkSession,
     preserved: expired URLs become re-crawlable."""
     links = store.table("links")
     if links.exists():
+        cutoff = (f"first_seen_at < timestamp'{now.isoformat(sep=' ')}' "
+                  f"- INTERVAL {ttl_days} DAYS")
+        cuckoo = store.table("cuckoo")
+        expired = None
+        if cuckoo.exists():
+            # capture the keys BEFORE the delete rewrites the table —
+            # they are exactly what leaves the cuckoo filter
+            expired = materialize(
+                links.read(spark).filter(cutoff).select("url_key")
+            )
         links.delete_where(
-            f"first_seen_at < timestamp'{now.isoformat(sep=' ')}' "
-            f"- INTERVAL {ttl_days} DAYS",
+            cutoff,
             spark,
             summary={"op": "retention", "ttl_days": ttl_days},
         )
-        # seen-set changed → bloom must be rebuilt lazily next cycle
+        if expired is not None:
+            # the cuckoo's whole point: expired keys DELETE in place —
+            # O(expired), not the bloom's O(seen) rebuild scan
+            from spark_frontier.functions.cuckoo import delete_cuckoo_keys
+
+            meta = cuckoo.summary()
+            n_seg = int(meta.get("n_segments") or 16)
+            n_exp = expired.count()
+            cuckoo.overwrite(
+                materialize(delete_cuckoo_keys(
+                    cuckoo.read(spark), expired, n_segments=n_seg
+                )),
+                summary={"op": "cuckoo_delete_after_retention",
+                         "n_segments": n_seg,
+                         "n_buckets": meta.get("n_buckets"),
+                         "n_keys": max(
+                             int(meta.get("n_keys") or 0) - n_exp, 0),
+                         "covers_links": links.snapshot_id},
+                small=True,
+            )
+        # seen-set changed → a bloom (no delete support) must be rebuilt
         bloom = store.table("bloom")
         if bloom.exists():
             bloom.overwrite(

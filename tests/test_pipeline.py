@@ -234,3 +234,53 @@ def test_links_append_failure_aborts_watermark(spark, world, tmp_path_factory,
     # watermark chained on the links lane → poisoned by the failed append
     assert store.table("sites").snapshot_id is None
     assert store.table("links").snapshot_id is None
+
+
+def test_cuckoo_seen_filter_matches_bloom_and_deletes_on_ttl(
+    spark, world, tmp_path_factory
+):
+    """seen_filter='cuckoo' end-to-end: cycle results identical to the
+    bloom mode (the probe never decides); retention DELETES expired keys
+    from the filter in place (no O(seen) rebuild) with provenance kept,
+    and the next cycle re-admits the expired URLs without rebuilding."""
+    from spark_frontier.pipeline.crawl import retention_cleanup
+
+    stores = {}
+    for mode in ("bloom", "cuckoo"):
+        st = _fresh_store(tmp_path_factory)
+        seed_seen_store(st, world["url_seen"])
+        run_crawl_cycle(
+            spark, world, st, batch_ts=NOW, days=7, seen_filter=mode
+        )
+        stores[mode] = st
+    a = sorted(r["url_key"] for r in
+               stores["bloom"].table("links").read(spark)
+               .select("url_key").collect())
+    b = sorted(r["url_key"] for r in
+               stores["cuckoo"].table("links").read(spark)
+               .select("url_key").collect())
+    assert a == b
+
+    st = stores["cuckoo"]
+    cuckoo = st.table("cuckoo")
+    assert cuckoo.exists()
+    meta0 = cuckoo.summary()
+    assert meta0["op"] == "cuckoo_delta"  # cycle committed the delta
+    assert meta0["covers_links"] == st.table("links").snapshot_id
+
+    n_before = st.table("links").read(spark).count()
+    retention_cleanup(st, spark, now=NOW, ttl_days=2)
+    n_after = st.table("links").read(spark).count()
+    assert n_after < n_before
+    meta1 = cuckoo.summary()
+    assert meta1["op"] == "cuckoo_delete_after_retention"  # NOT a rebuild
+    assert meta1["covers_links"] == st.table("links").snapshot_id
+    assert meta1["n_keys"] < meta0["n_keys"]
+
+    # next cycle: provenance is current → filter reused as-is, and the
+    # expired URLs re-admit (the T10 quirk) through the cuckoo path
+    rep = run_crawl_cycle(
+        spark, world, st, batch_ts=NOW, days=7, seen_filter="cuckoo"
+    )
+    assert st.table("links").read(spark).count() > n_after
+    assert cuckoo.summary()["op"] == "cuckoo_delta"
