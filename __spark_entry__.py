@@ -1253,6 +1253,19 @@ def q59_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls_from_robots(robots)
 
 
+def q60_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (sampling.assign_splits):
+    cumulative hash-space thresholds over the md5-60 id hash — disjoint,
+    rerun-stable, growth-stable. 90/5/5 at sf scales gives every split
+    real membership."""
+    from spark_frontier.analytics.sampling import assign_splits
+
+    return assign_splits(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+
+
 def q52_dup_ngram_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup signals (decontam.dup_ngram_signals, Lee
     et al. 2022): per doc, the fraction of its word 8-gram positions
@@ -1329,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_image_shards": q57_image_shards,
         "q58_source_health": q58_source_health,
         "q59_robots_sitemaps": q59_robots_sitemaps,
+        "q60_split_assignment": q60_split_assignment,
         "q24_image_stats": q24_image_stats,
     }
 
@@ -2048,6 +2062,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "q57_image_shards": _q57_oracle(),
+        # NOTE: the 'val' bound replays the operator's float ACCUMULATION
+        # (0.9 + 0.05 == 0.9500000000000001), not the literal 0.95 — the
+        # two differ by ~1 ULP ≈ 115 hash values of disagreement window
+        "q60_split_assignment": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN {_H60.format(x='CAST(doc_id AS VARCHAR)')}
+                          < {int(0.9 * (1 << 60))} THEN 'train'
+                     WHEN {_H60.format(x='CAST(doc_id AS VARCHAR)')}
+                          < {int((0.9 + 0.05) * (1 << 60))} THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
         "q59_robots_sitemaps": r"""
             WITH h AS (SELECT DISTINCT CAST(user_id % 41 AS INT) AS hid
                        FROM events),

@@ -83,6 +83,7 @@ HEADLINE = [
     "q57_image_shards",
     "q58_source_health",
     "q59_robots_sitemaps",
+    "q60_split_assignment",
 ]
 
 

@@ -169,3 +169,43 @@ def dsir_logweights(
             F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
         )
     )
+
+
+def assign_splits(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic, DISJOINT train/val/test assignment: the 60-bit id
+    hash lands in [0, 1); cumulative fraction thresholds partition the
+    hash space, so every row gets exactly one split, reruns and other
+    engines agree bit-for-bit, and growing the corpus never moves an
+    existing document between splits (the property random splits lack).
+    The LAST split absorbs the tail of the hash space, so rounding can
+    never leave a row unassigned. Pure filter logic — no shuffle, no
+    sort; composes with ``hash_sample`` (same hash, so a sampled corpus
+    splits consistently with the full one)."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions or any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("fractions sum to more than 1")
+    h = _id_hash(id_col)
+    names = list(fractions)
+    cum = 0.0
+    bounds = []
+    for name, frac in fractions.items():
+        cum += frac
+        bounds.append((name, int(cum * HASH_SPACE)))
+    # CASE WHEN h < bound_1 THEN s1 WHEN h < bound_2 THEN s2 ... — the
+    # first (lowest) matching threshold wins; the otherwise-branch makes
+    # the last split the tail absorber
+    chain = None
+    for name, bound in bounds:
+        cond = h < F.lit(bound)
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(
+            cond, F.lit(name)
+        )
+    chain = chain.otherwise(F.lit(names[-1]))
+    return docs.select("*", chain.alias("split"))

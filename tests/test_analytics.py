@@ -922,3 +922,23 @@ def test_assign_image_shards_invariants(spark):
     # 19 -> 2 full + ragged 3; 16 -> 2 full, no tail
     n_full = sum(1 for k, m in shards.items() if len(m) == 8)
     assert n_full == 4
+
+
+def test_assign_splits_disjoint_and_stable(spark):
+    """Every row gets exactly one split; proportions are near the
+    fractions; assignment of an existing id never changes when the
+    corpus grows (the hash property random splits lack)."""
+    from spark_frontier.analytics.sampling import assign_splits
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r["doc_id"]: r["split"] for r in assign_splits(small, fr).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in assign_splits(big, fr).collect()}
+    assert len(s1) == 500 and len(s2) == 2000
+    assert all(s2[k] == v for k, v in s1.items())  # growth-stable
+    from collections import Counter
+    c = Counter(s2.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["val"] / 2000 < 0.14
