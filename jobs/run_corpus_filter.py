@@ -51,6 +51,9 @@ def main() -> int:
                    help="packing stream units; 'bpe' trains the tokenizer "
                         "on the filtered corpus and commits its merges")
     p.add_argument("--bpe-merges", type=int, default=64)
+    p.add_argument("--splits", default=None,
+                   help="JSON dict split -> fraction for deterministic "
+                        "train/val/test assignment on the kept docs")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -87,6 +90,7 @@ def main() -> int:
         pack_tokens=args.pack_tokens,
         bpe_merges=args.bpe_merges,
         quotas=json.loads(args.quotas) if args.quotas else None,
+        splits=json.loads(args.splits) if args.splits else None,
         safety_keywords=(json.loads(args.safety_keywords)
                          if args.safety_keywords else None),
         dsir_target=(spark.read.parquet(args.dsir_target)

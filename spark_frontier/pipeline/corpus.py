@@ -115,6 +115,7 @@ def run_corpus_filter(
     pack_tokens: str = "whitespace",
     bpe_merges: int = 64,
     quotas: dict[str, int] | None = None,
+    splits: dict[str, float] | None = None,
     batch_ts: datetime | None = None,
 ) -> dict:
     """Run the corpus filter funnel over ``docs`` (doc_id, text, source,
@@ -294,6 +295,16 @@ def run_corpus_filter(
         (F.max(F.col("seq_last")) + 1).alias("n")
     ).first()["n"]
     report["n_sequences"] = int(n_seq) if n_seq is not None else 0
+
+    # ---- deterministic split assignment (optional) rides the kept set
+    if splits is not None:
+        from spark_frontier.analytics.sampling import assign_splits
+
+        live = assign_splits(live, splits)
+        report["splits"] = {
+            r["split"]: int(r["n"]) for r in
+            live.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
 
     # ---- commit: docs + packing + funnel row (summaries carry lineage)
     store.table("corpus_docs").overwrite(

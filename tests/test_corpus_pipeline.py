@@ -226,3 +226,16 @@ def test_corpus_filter_bpe_packing(spark, corpus, tmp_path):
     assert bad == 0
     tot = packing.agg(F.sum("n_tokens")).first()[0]
     assert report["n_sequences"] == (tot + 63) // 64
+
+
+def test_corpus_filter_split_assignment(spark, corpus, tmp_path):
+    report = run_corpus_filter(
+        spark, corpus, str(tmp_path / "w7"),
+        splits={"train": 0.7, "val": 0.3}, pack_capacity=32,
+    )
+    assert sum(report["splits"].values()) == report["n_kept"]
+    kept = SnapStore(str(tmp_path / "w7")).table("corpus_docs").read(spark)
+    assert set(kept.columns) >= {"split", "fingerprint"}
+    per = {r["split"]: r["n"] for r in
+           kept.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert per == report["splits"]
