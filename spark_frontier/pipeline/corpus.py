@@ -116,6 +116,7 @@ def run_corpus_filter(
     bpe_merges: int = 64,
     quotas: dict[str, int] | None = None,
     splits: dict[str, float] | None = None,
+    scrub_pii_text: bool = False,
     batch_ts: datetime | None = None,
 ) -> dict:
     """Run the corpus filter funnel over ``docs`` (doc_id, text, source,
@@ -295,6 +296,14 @@ def run_corpus_filter(
         (F.max(F.col("seq_last")) + 1).alias("n")
     ).first()["n"]
     report["n_sequences"] = int(n_seq) if n_seq is not None else 0
+
+    # ---- PII scrubbing (optional): committed text is the REDACTED form
+    # (the q42 operator); the fingerprint below still hashes the text as
+    # committed, so dedup and provenance stay self-consistent
+    if scrub_pii_text:
+        from spark_frontier.analytics.pii import scrub_pii
+
+        live = live.withColumn("text", scrub_pii(F.col("text")))
 
     # ---- deterministic split assignment (optional) rides the kept set
     if splits is not None:

@@ -942,3 +942,33 @@ def test_assign_splits_disjoint_and_stable(spark):
     assert set(c) == {"train", "val", "test"}
     assert 0.75 < c["train"] / 2000 < 0.85
     assert 0.06 < c["val"] / 2000 < 0.14
+
+
+def test_allocate_budget_matches_python_hamilton(spark):
+    """Random instances vs a pure-python largest-remainder reference."""
+    import numpy as np
+
+    from spark_frontier.frontier.budget import allocate_budget
+
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        n = int(rng.integers(5, 60))
+        weights = rng.integers(0, 50, size=n)
+        b = int(rng.integers(1, 500))
+        rows = [(f"h{i:03d}", int(w)) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "host string, weight long")
+        got = {r["host"]: r["alloc"] for r in
+               allocate_budget(df, b, n_parts=4).collect()}
+
+        w_sum = int(weights.sum())
+        if w_sum == 0:
+            assert all(v == 0 for v in got.values())
+            continue
+        base = {h: (w * b) // w_sum for (h, w) in rows}
+        rem = {h: (w * b) % w_sum for (h, w) in rows}
+        leftover = b - sum(base.values())
+        order = sorted(rows, key=lambda hw: (-rem[hw[0]], hw[0]))
+        want = dict(base)
+        for h, _ in order[:leftover]:
+            want[h] += 1
+        assert got == want, trial

@@ -239,3 +239,22 @@ def test_corpus_filter_split_assignment(spark, corpus, tmp_path):
     per = {r["split"]: r["n"] for r in
            kept.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert per == report["splits"]
+
+
+def test_corpus_filter_pii_scrub(spark, tmp_path):
+    """scrub_pii_text=True commits REDACTED text; the stored fingerprint
+    hashes the committed (clean) form."""
+    import hashlib
+
+    rows = [(1, "the story is that contact me at bob@example.com for "
+                "more details on the project we discussed here", "web")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    run_corpus_filter(spark, docs, str(tmp_path / "w8"),
+                      scrub_pii_text=True, pack_capacity=32)
+    kept = SnapStore(str(tmp_path / "w8")).table("corpus_docs").read(spark)
+    r = kept.first()
+    assert "bob@example.com" not in r["text"]
+    assert "<EMAIL>" in r["text"]
+    norm = " ".join(r["text"].lower().split())
+    assert r["fingerprint"] == hashlib.md5(norm.encode()).hexdigest()
