@@ -54,6 +54,8 @@ def main() -> int:
     p.add_argument("--splits", default=None,
                    help="JSON dict split -> fraction for deterministic "
                         "train/val/test assignment on the kept docs")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="commit PII-redacted text (q42 operator)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -91,6 +93,7 @@ def main() -> int:
         bpe_merges=args.bpe_merges,
         quotas=json.loads(args.quotas) if args.quotas else None,
         splits=json.loads(args.splits) if args.splits else None,
+        scrub_pii_text=args.scrub_pii,
         safety_keywords=(json.loads(args.safety_keywords)
                          if args.safety_keywords else None),
         dsir_target=(spark.read.parquet(args.dsir_target)
