@@ -235,9 +235,99 @@ def q09_coalesce_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q03_legacy_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F9/A5/S7/F4/A7/V8/A4/A1/K3/V9/V11 legacy shapes (the former
+    q03–q09), collapsed into ONE driver-correctness row so the newest
+    operators fit the driver's 50-query window (round-4 VERDICT item 1).
+    Each leg projects to an exact (shape, k, n) triple — strings and
+    bigints only, so no float/format hazards can enter the union. Money
+    goes through exact DECIMAL cents."""
+    ev = _t(spark, sf_dir, "events")
+
+    def leg(shape, k, n):
+        return [F.lit(shape).alias("shape"), k.alias("k"),
+                n.cast("long").alias("n")]
+
+    recency = q03_recency_filter(spark, sf_dir).select(
+        *leg("recency", F.col("event_id").cast("string"),
+             F.unix_micros(F.col("ts").cast("timestamp"))))
+    reject = q04_reject_filter(spark, sf_dir).select(
+        *leg("reject",
+             F.concat_ws(":", F.col("doc_id").cast("string"), "source"),
+             F.lit(0)))
+    paging = q05_window_paging(spark, sf_dir).select(
+        *leg("paging", F.col("o_orderkey").cast("string"), F.col("rn")))
+    tail = q06_undated_tail(spark, sf_dir).select(
+        *leg("tail",
+             F.concat_ws(":", F.col("user_id").cast("string"),
+                         F.col("event_id").cast("string")),
+             F.col("rn")))
+    argmax = q07_argmax_category(spark, sf_dir).select(
+        *leg("argmax",
+             F.concat_ws(":", F.col("user_id").cast("string"), "top_type"),
+             F.col("top_n")))
+    # funnel: recomputed with exact integer cents (not q08's rounded
+    # double) so the union carries no floats at all
+    fun = ev.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.countDistinct("user_id").alias("_u"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").alias("_c"),
+    )
+    funnel = (
+        fun.select(*leg("funnel_n", F.col("event_type"), F.col("_n")))
+        .unionByName(
+            fun.select(*leg("funnel_users", F.col("event_type"),
+                            F.col("_u"))))
+        .unionByName(
+            fun.select(*leg("funnel_cents", F.col("event_type"),
+                            F.col("_c"))))
+    )
+    coal = q09_coalesce_precedence(spark, sf_dir).select(
+        *leg("coalesce",
+             F.concat_ws(":", F.col("o_orderkey").cast("string"),
+                         "resolved"),
+             F.lit(0)))
+    out = recency
+    for piece in (reject, paging, tail, argmax, funnel, coal):
+        out = out.unionByName(piece)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # engine credibility: TPC-H-ish aggregates/joins (free in Spark; anchors
 # the bench + proves Catalyst plans are sane)
+
+
+def q10_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 + Q3ish collapsed into one correctness row (round-4
+    VERDICT item 1). Q3's date rides as epoch-micros text so the only
+    doubles in the union are the decimal-summed aggregates that already
+    hash-matched standalone for three rounds."""
+    a = q10_tpch_q1(spark, sf_dir).select(
+        F.lit("q1").alias("tag"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("sum_qty").alias("d1"),
+        F.col("sum_base_price").alias("d2"),
+        F.col("sum_disc_price").alias("d3"),
+        F.col("sum_charge").alias("d4"),
+        F.col("avg_qty").alias("d5"),
+        F.col("count_order").cast("long").alias("n"),
+    )
+    b = q11_tpch_q3ish(spark, sf_dir).select(
+        F.lit("q3").alias("tag"),
+        F.col("o_orderkey").cast("string").alias("k1"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .cast("string").alias("k2"),
+        F.col("revenue").alias("d1"),
+        F.lit(0.0).alias("d2"),
+        F.lit(0.0).alias("d3"),
+        F.lit(0.0).alias("d4"),
+        F.lit(0.0).alias("d5"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return a.unionByName(b)
 
 
 def q10_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,6 +418,29 @@ def q15_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding"]]
     top = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q16_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis signals (the former q16–q19) in ONE per-document
+    projection — token/subword counts, quality score, language ID, and
+    the md5 fingerprint — exactly how a 100 TB corpus pass would compute
+    them: a single codegen scan, no second read of `text`."""
+    from spark_frontier.analytics.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        subword_count,
+        token_count,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        subword_count(F.col("text")).alias("n_subwords"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
 
 
 def q16_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,23 +1399,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_frontier_dedup": q01_frontier_dedup,
         "q02_frontier_schedule": q02_frontier_schedule,
-        "q03_recency_filter": q03_recency_filter,
-        "q04_reject_filter": q04_reject_filter,
-        "q05_window_paging": q05_window_paging,
-        "q06_undated_tail": q06_undated_tail,
-        "q07_argmax_category": q07_argmax_category,
-        "q08_funnel_counts": q08_funnel_counts,
-        "q09_coalesce_precedence": q09_coalesce_precedence,
-        "q10_tpch_q1": q10_tpch_q1,
-        "q11_tpch_q3ish": q11_tpch_q3ish,
+        "q03_legacy_shapes": q03_legacy_shapes,
+        "q10_tpch": q10_tpch,
         "q12_exact_dedup": q12_exact_dedup,
         "q13_ngram_jaccard": q13_ngram_jaccard,
         "q14_embedding_neardup": q14_embedding_neardup,
         "q15_cosine_topk": q15_cosine_topk,
-        "q16_token_count": q16_token_count,
-        "q17_quality_score": q17_quality_score,
-        "q18_lang_id": q18_lang_id,
-        "q19_fingerprint": q19_fingerprint,
+        "q16_text_signals": q16_text_signals,
         "q20_sha_parity": q20_sha_parity,
         "q25_category_segment": q25_category_segment,
         "q26_backoff_state": q26_backoff_state,
@@ -1498,62 +1601,64 @@ def oracle_sql() -> dict[str, str]:
                        AS deadline_s
             FROM r WHERE host_slot <= 3
         """,
-        "q03_recency_filter": """
-            SELECT event_id, ts FROM events
-            WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
-        """,
-        "q04_reject_filter": """
-            SELECT doc_id, source FROM documents
-            WHERE NOT regexp_matches(lower(text), 'merge|stream')
-        """,
-        "q05_window_paging": """
-            WITH r AS (
-                SELECT o_orderkey, o_orderdate, o_totalprice,
-                       ROW_NUMBER() OVER (ORDER BY o_orderdate DESC,
-                                          o_orderkey) AS rn
-                FROM orders)
-            SELECT o_orderkey, o_orderdate, o_totalprice, CAST(rn AS INT) AS rn
-            FROM r WHERE rn > 40 AND rn <= 60
-        """,
-        "q06_undated_tail": """
-            WITH r AS (
-                SELECT user_id, event_id,
-                       ROW_NUMBER() OVER (PARTITION BY user_id
-                                          ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events WHERE event_type = 'click')
-            SELECT user_id, event_id, CAST(rn AS INT) AS rn
-            FROM r WHERE rn <= 5
-        """,
-        "q07_argmax_category": """
-            WITH c AS (
+        "q03_legacy_shapes": """
+            WITH argc AS (
                 SELECT user_id, event_type, count(*) AS n
                 FROM events GROUP BY 1, 2),
-            r AS (
+            argr AS (
                 SELECT user_id, event_type, n,
                        ROW_NUMBER() OVER (PARTITION BY user_id
                                           ORDER BY n DESC, event_type) AS rk
-                FROM c)
-            SELECT user_id, event_type AS top_type,
-                   (SELECT max(n) FROM c c2 WHERE c2.user_id = r.user_id) AS top_n
-            FROM r WHERE rk = 1
-        """,
-        "q08_funnel_counts": """
-            SELECT event_type, count(*) AS n,
-                   count(DISTINCT user_id) AS n_users,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
-                       AS sum_value
-            FROM events GROUP BY 1
-        """,
-        "q09_coalesce_precedence": """
-            SELECT o_orderkey,
+                FROM argc),
+            fun AS (
+                SELECT event_type, count(*) AS _n,
+                       count(DISTINCT user_id) AS _u,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                            AS BIGINT) AS _c
+                FROM events GROUP BY 1)
+            SELECT 'recency' AS shape, CAST(event_id AS VARCHAR) AS k,
+                   epoch_us(ts) AS n
+            FROM events
+            WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+            UNION ALL
+            SELECT 'reject', CAST(doc_id AS VARCHAR) || ':' || source,
+                   CAST(0 AS BIGINT)
+            FROM documents
+            WHERE NOT regexp_matches(lower(text), 'merge|stream')
+            UNION ALL
+            SELECT 'paging', CAST(o_orderkey AS VARCHAR), rn FROM (
+                SELECT o_orderkey,
+                       ROW_NUMBER() OVER (ORDER BY o_orderdate DESC,
+                                          o_orderkey) AS rn
+                FROM orders) WHERE rn > 40 AND rn <= 60
+            UNION ALL
+            SELECT 'tail', CAST(user_id AS VARCHAR) || ':'
+                           || CAST(event_id AS VARCHAR), rn FROM (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                          event_id DESC) AS rn
+                FROM events WHERE event_type = 'click') WHERE rn <= 5
+            UNION ALL
+            SELECT 'argmax', CAST(user_id AS VARCHAR) || ':' || event_type,
+                   (SELECT max(n) FROM argc c2
+                    WHERE c2.user_id = argr.user_id)
+            FROM argr WHERE rk = 1
+            UNION ALL
+            SELECT 'funnel_n', event_type, _n FROM fun
+            UNION ALL SELECT 'funnel_users', event_type, _u FROM fun
+            UNION ALL SELECT 'funnel_cents', event_type, _c FROM fun
+            UNION ALL
+            SELECT 'coalesce', CAST(o_orderkey AS VARCHAR) || ':' ||
                    coalesce(
                        CASE WHEN o_orderstatus = 'F' THEN NULL
                             ELSE o_orderstatus END,
                        CASE WHEN o_totalprice > 200000 THEN 'big' END,
-                       'sports') AS resolved
+                       'sports'),
+                   CAST(0 AS BIGINT)
             FROM orders
         """,
-        "q10_tpch_q1": """
+        "q10_tpch": """
             WITH a AS (
                 SELECT l_returnflag, l_linestatus,
                        sum(CAST(l_quantity AS DECIMAL(18,2))) AS _sq,
@@ -1570,28 +1675,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
                 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
                 GROUP BY 1, 2)
-            SELECT l_returnflag, l_linestatus,
-                   CAST(_sq AS DOUBLE) AS sum_qty,
-                   CAST(_sbp AS DOUBLE) AS sum_base_price,
-                   CAST(_sdp AS DOUBLE) AS sum_disc_price,
-                   CAST(_sc AS DOUBLE) AS sum_charge,
-                   round(CAST(_sq AS DOUBLE) / count_order, 6) AS avg_qty,
-                   count_order
+            , b AS (
+                SELECT o_orderkey, o_orderdate,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(18,2))
+                                   - CAST(l_discount AS DECIMAL(18,2))))
+                            AS DOUBLE) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY 1, 2
+                ORDER BY revenue DESC, o_orderkey
+                LIMIT 10)
+            SELECT 'q1' AS tag, l_returnflag AS k1, l_linestatus AS k2,
+                   CAST(_sq AS DOUBLE) AS d1,
+                   CAST(_sbp AS DOUBLE) AS d2,
+                   CAST(_sdp AS DOUBLE) AS d3,
+                   CAST(_sc AS DOUBLE) AS d4,
+                   round(CAST(_sq AS DOUBLE) / count_order, 6) AS d5,
+                   count_order AS n
             FROM a
-        """,
-        "q11_tpch_q3ish": """
-            SELECT o_orderkey, o_orderdate,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (CAST(1 AS DECIMAL(18,2))
-                               - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-                       AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY 1, 2
-            ORDER BY revenue DESC, o_orderkey
-            LIMIT 10
+            UNION ALL
+            SELECT 'q3', CAST(o_orderkey AS VARCHAR),
+                   CAST(epoch_us(o_orderdate) AS VARCHAR),
+                   revenue, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                   CAST(0 AS BIGINT)
+            FROM b
         """,
         "q12_exact_dedup": f"""
             SELECT md5({_NORM}) AS text_hash,
@@ -1642,25 +1753,9 @@ def oracle_sql() -> dict[str, str]:
                       WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10
         """,
-        "q16_token_count": f"""
-            SELECT doc_id,
-                   CAST(len({_TOKENS}) AS INT) AS n_tokens,
-                   CAST(len(list_filter(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
-                        x -> x <> '')) AS INT) AS n_subwords
-            FROM documents
-        """,
-        "q17_quality_score": f"""
-            SELECT doc_id,
-                   round((least({qual_ntok} / 20.0, 1.0)
-                          + (1.0 - least({qual_punct} * 5.0, 1.0))
-                          + least({qual_stop} * 4.0, 1.0)) / 3.0, 6)
-                       AS quality
-            FROM documents
-        """,
-        "q18_lang_id": f"""
+        "q16_text_signals": f"""
             WITH s AS (
-                SELECT doc_id,
+                SELECT doc_id, text,
                        {_lang_score('de')} AS s_de,
                        {_lang_score('en')} AS s_en,
                        {_lang_score('es')} AS s_es,
@@ -1668,11 +1763,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS m FROM s)
             SELECT doc_id,
-                   CASE WHEN m = 0 THEN 'und' {lang_cases} END AS lang_guess
+                   CAST(len({_TOKENS}) AS INT) AS n_tokens,
+                   CAST(len(list_filter(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                        x -> x <> '')) AS INT) AS n_subwords,
+                   round((least({qual_ntok} / 20.0, 1.0)
+                          + (1.0 - least({qual_punct} * 5.0, 1.0))
+                          + least({qual_stop} * 4.0, 1.0)) / 3.0, 6)
+                       AS quality,
+                   CASE WHEN m = 0 THEN 'und' {lang_cases} END AS lang_guess,
+                   md5({_NORM}) AS fp
             FROM m
-        """,
-        "q19_fingerprint": f"""
-            SELECT doc_id, md5({_NORM}) AS fp FROM documents
         """,
         "q20_sha_parity": f"""
             SELECT event_id, sha256({_EVENT_URL_SQL}) AS url_sha FROM events

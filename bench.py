@@ -42,14 +42,13 @@ BENCH_WORLD = os.environ.get(
 HEADLINE = [
     "q01_frontier_dedup",
     "q02_frontier_schedule",
-    "q10_tpch_q1",
-    "q11_tpch_q3ish",
+    "q03_legacy_shapes",
+    "q10_tpch",
     "q12_exact_dedup",
     "q13_ngram_jaccard",
     "q14_embedding_neardup",
     "q15_cosine_topk",
-    "q16_token_count",
-    "q18_lang_id",
+    "q16_text_signals",
     "q21_minhash_lsh",
     "q22_simhash",
     "q27_category_chain",
@@ -525,7 +524,7 @@ def main() -> None:
         return round(b["urls_per_sec"] / (4.0 * a["urls_per_sec"]), 3)
 
     eff = _eff(fr_n, fr_4n)
-    result = {
+    detail = {
         "metric": "frontier_urls_fetched_deduped_per_sec",
         "value": (full or fr_4n)["urls_per_sec"],
         "unit": "sec",
@@ -539,7 +538,40 @@ def main() -> None:
             "host_control": control,
         },
     }
-    print(json.dumps(result))
+    # Full audit detail goes to a file + a non-final stdout line: round 4's
+    # single giant JSON line outgrew the driver's 2000-char stdout capture
+    # and BENCH_r04.json recorded "parsed": null. The LAST line stays a
+    # compact (<1.9 KB) summary the driver can always parse.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_detail_last.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print("BENCHDETAIL " + json.dumps(detail, separators=(",", ":")))
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": detail["sf"],
+        "frontier": {
+            "urls_per_sec_n": fr_n["urls_per_sec"],
+            "urls_per_sec_4n": fr_4n["urls_per_sec"],
+            "urls_per_sec_full": (full or fr_4n)["urls_per_sec"],
+            "wall_s_n": fr_n["wall_s"],
+            "wall_s_4n": fr_4n["wall_s"],
+            "scaling_efficiency_n_to_4n": eff,
+            "host_ceiling_efficiency":
+                control["host_ceiling_efficiency"],
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never regress the driver parse again
+        compact["queries"] = {
+            k: round(v, 2) for k, v in sorted(
+                queries.items(), key=lambda kv: -kv[1]
+            )[:20]
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
