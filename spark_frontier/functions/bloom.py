@@ -254,6 +254,7 @@ def dedup_unseen(
     seen_count: int | None = None,
     broadcast_seen_cap: int = BROADCAST_SEEN_CAP,
     probe_fn=None,
+    distributed_prober=None,
 ) -> DataFrame:
     """Return frontier rows NOT in seen — exactly — using the bloom to
     shrink the anti-join probe side (reference dedup: repository.py:352-369
@@ -271,6 +272,12 @@ def dedup_unseen(
     shuffle join of only the maybe-seen slice instead of force-shipping
     the whole seen key set to every executor (OOM cliff as links grows).
 
+    ``distributed_prober``: layout-specific cogroup probe for
+    ``probe='distributed'`` — ``(frontier, segments, key_col, n_segments)
+    -> frontier + _maybe_seen``. Defaults to this module's bloom-layout
+    ``probe_distributed``; pass ``cuckoo.probe_distributed`` for cuckoo
+    segment tables.
+
     With ``segments=None`` falls back to the plain exact anti-join.
     """
     if segments is None:
@@ -282,7 +289,8 @@ def dedup_unseen(
         # true dups) enters the exact anti-join's shuffle. Callers pair
         # this with a materialized frontier, so the branches don't
         # recompute the upstream.
-        flagged = probe_distributed(frontier, segments, key_col, n_segments)
+        prober = distributed_prober or probe_distributed
+        flagged = prober(frontier, segments, key_col, n_segments)
         definitely_unseen = flagged.filter(~F.col("_maybe_seen")).drop(
             "_maybe_seen"
         )

@@ -250,6 +250,61 @@ def delete_cuckoo_keys(segments, keys, n_segments=16, key_col="url_key"):
     return _mutate_segments(segments, keys, n_segments, key_col, "delete")
 
 
+def probe_distributed(
+    frontier: DataFrame,
+    segments: DataFrame,
+    key_col: str = "url_key",
+    n_segments: int = 16,
+) -> DataFrame:
+    """The 10^10-key cuckoo probe: NO driver collect, NO table broadcast.
+
+    Mirrors ``bloom.probe_distributed``'s cogroup-on-seg_id topology for
+    the cuckoo layout: the frontier repartitions on seg_id and each task
+    probes its slice against exactly ONE segment's fingerprint table. At
+    the design point (10^10 keys × ~2.5 B/key with headroom) the whole
+    cuckoo table is tens of GB — the broadcast probe would ship all of it
+    to every executor, this path ships each executor only the segments it
+    owns. Returns frontier + ``_maybe_seen`` boolean.
+    """
+    from pyspark.sql.types import BooleanType as _B
+
+    fr = frontier.withColumn(
+        "_seg_id", F.pmod(F.col(key_col), F.lit(n_segments)).cast("int")
+    )
+    out_schema = StructType(
+        fr.schema.fields + [StructField("_maybe_seen", _B())]
+    )
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(_maybe_seen=pd.Series([], dtype=bool))
+        if right.empty:
+            # no table for this segment → nothing was ever inserted there
+            return left.assign(_maybe_seen=False)
+        keys = left[key_col].to_numpy(dtype=np.int64)
+        hit = np.zeros(len(keys), dtype=bool)
+        # one canonical row per segment; defensively OR across any
+        # unmerged delta rows (possibly-seen-in-ANY keeps the
+        # negative-pass-through contract: extra positives only cost an
+        # exact probe, a missed positive would leak a duplicate)
+        for j in range(len(right)):
+            nb = int(right["n_buckets"].iloc[j])
+            table = np.frombuffer(
+                right["table"].iloc[j], dtype=np.uint16
+            ).reshape(nb, SLOTS)
+            hit |= _contains(table, keys)
+        return left.assign(_maybe_seen=hit)
+
+    flagged = (
+        fr.groupBy("_seg_id")
+        .cogroup(
+            segments.withColumnRenamed("seg_id", "_seg_id").groupBy("_seg_id")
+        )
+        .applyInPandas(_probe, out_schema)
+    )
+    return flagged.drop("_seg_id")
+
+
 def cuckoo_contains_udf(spark, segments: DataFrame, n_segments: int):
     """Broadcast probe: ``col(url_key) -> boolean`` (true = POSSIBLY
     seen) — drop-in for ``dedup_unseen(probe_fn=...)``."""

@@ -295,8 +295,15 @@ def _run_cycle_inner(
 ) -> CycleReport:
     if seen_filter not in ("bloom", "cuckoo"):
         raise ValueError(f"unknown seen_filter: {seen_filter!r}")
-    if seen_filter == "cuckoo" and bloom_probe != "broadcast":
-        raise ValueError("seen_filter='cuckoo' requires the broadcast probe")
+    # layout-specific cogroup prober for the distributed probe path (the
+    # 10^10-key shape: the cuckoo table at ~2.5 B/key with headroom is
+    # tens of GB — it must never ship whole to every executor)
+    if seen_filter == "cuckoo":
+        from spark_frontier.functions.cuckoo import (
+            probe_distributed as distributed_prober,
+        )
+    else:
+        distributed_prober = None  # dedup_unseen defaults to the bloom's
     sites = world["sites"].filter(F.col("is_active")).orderBy("site_seq")
     seeds = sites.select("site_id", "site_seq", "sitemap_url")
 
@@ -650,6 +657,7 @@ def _run_cycle_inner(
                 candidates, seen.select("url_key"), segments=segments,
                 n_segments=bloom_segments, probe=bloom_probe,
                 seen_count=seen_count, probe_fn=probe_fn,
+                distributed_prober=distributed_prober,
             )
             if attempted is not None:
                 unseen = unseen.join(attempted, on="url_key", how="left_anti")

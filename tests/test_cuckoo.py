@@ -79,6 +79,64 @@ def test_cuckoo_delete_then_insert_cycle(spark):
     assert n_back == 100
 
 
+def test_cuckoo_distributed_probe_exact_and_no_driver_collect(
+    spark, monkeypatch
+):
+    """probe='distributed' with the cuckoo layout returns the exact unseen
+    set WITHOUT collecting/broadcasting segment tables (round-4 VERDICT
+    item 3: at 10^10 keys the cuckoo table is tens of GB — it must never
+    ship whole to every executor)."""
+    import spark_frontier.functions.cuckoo as cuckoo_mod
+    from spark_frontier.functions.cuckoo import probe_distributed
+
+    rng = np.random.default_rng(11)
+    seen_keys = set(rng.integers(-(2**62), 2**62, size=4000).tolist())
+    frontier_keys = set(rng.integers(-(2**62), 2**62, size=4000).tolist())
+    frontier_keys.update(list(seen_keys)[:700])
+
+    seen = _keys_df(spark, sorted(seen_keys))
+    frontier = _keys_df(spark, sorted(frontier_keys))
+    expected = sorted(frontier_keys - seen_keys)
+
+    segs = build_cuckoo_segments(seen, n_segments=8).localCheckpoint()
+
+    def _no_collect(*a, **k):
+        raise AssertionError(
+            "distributed cuckoo probe must not collect/broadcast tables"
+        )
+
+    monkeypatch.setattr(cuckoo_mod, "cuckoo_contains_udf", _no_collect)
+    out = dedup_unseen(
+        frontier, seen, segments=segs, n_segments=8, probe="distributed",
+        distributed_prober=probe_distributed,
+    )
+    assert sorted(r["url_key"] for r in out.collect()) == expected
+
+
+def test_cuckoo_distributed_probe_no_false_negatives(spark):
+    """Every inserted key must flag _maybe_seen=True through the cogroup
+    probe (a false negative would leak a duplicate URL); keys in segments
+    with no table row pass through as definitely-unseen."""
+    from spark_frontier.functions.cuckoo import probe_distributed
+
+    keys = np.arange(1, 2001, dtype=np.int64) * 104729
+    segs = build_cuckoo_segments(_keys_df(spark, keys), n_segments=8)
+    flagged = probe_distributed(
+        _keys_df(spark, keys), segs, n_segments=8
+    )
+    n_hit = flagged.agg(
+        F.sum(F.col("_maybe_seen").cast("int"))
+    ).first()[0]
+    assert n_hit == len(keys)
+
+    # a fresh key space whose segments were never built: stays False
+    empty_segs = build_cuckoo_segments(
+        _keys_df(spark, keys[:1]), n_segments=8
+    ).filter(F.lit(False))
+    f2 = probe_distributed(_keys_df(spark, keys), empty_segs, n_segments=8)
+    assert f2.agg(F.sum(F.col("_maybe_seen").cast("int"))).first()[0] == 0
+
+
 def test_cuckoo_probe_feeds_dedup_unseen_exactly(spark):
     """probe_fn=cuckoo in dedup_unseen returns the EXACT anti-join
     result — correctness never depends on the filter."""

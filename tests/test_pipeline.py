@@ -246,11 +246,13 @@ def test_cuckoo_seen_filter_matches_bloom_and_deletes_on_ttl(
     from spark_frontier.pipeline.crawl import retention_cleanup
 
     stores = {}
-    for mode in ("bloom", "cuckoo"):
+    for mode, probe in (("bloom", "broadcast"), ("cuckoo", "broadcast"),
+                        ("cuckoo-dist", "distributed")):
         st = _fresh_store(tmp_path_factory)
         seed_seen_store(st, world["url_seen"])
         run_crawl_cycle(
-            spark, world, st, batch_ts=NOW, days=7, seen_filter=mode
+            spark, world, st, batch_ts=NOW, days=7,
+            seen_filter=mode.split("-")[0], bloom_probe=probe,
         )
         stores[mode] = st
     a = sorted(r["url_key"] for r in
@@ -260,6 +262,13 @@ def test_cuckoo_seen_filter_matches_bloom_and_deletes_on_ttl(
                stores["cuckoo"].table("links").read(spark)
                .select("url_key").collect())
     assert a == b
+    # round-5: the distributed (cogroup) cuckoo probe is cycle-identical
+    # to the broadcast probe and to the bloom path
+    c = sorted(r["url_key"] for r in
+               stores["cuckoo-dist"].table("links").read(spark)
+               .select("url_key").collect())
+    assert a == c
+    stores["cuckoo"] = stores["cuckoo-dist"]  # reuse the dist store below
 
     st = stores["cuckoo"]
     cuckoo = st.table("cuckoo")
