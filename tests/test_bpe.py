@@ -74,6 +74,32 @@ def test_bpe_matches_reference(spark):
         assert enc[i] == _ref_encode(t, want), i
 
 
+def test_bpe_incremental_matches_reference_deep(spark):
+    """Stress the incremental pair-count maintenance (round-5): a small
+    alphabet forces repeated symbols (aa/aaa chains), merge-created
+    symbols colliding with existing ones, and pair counts that rise and
+    fall — 300 merges at min_count=1 drains the vocabulary completely,
+    so every heap-invalidation and index-update path runs. The full
+    recount reference must agree move-for-move."""
+    import random
+
+    rng = random.Random(42)
+    texts = [
+        " ".join(
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 9)))
+            for _ in range(40)
+        )
+        for _ in range(25)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=300, min_count=1)
+    want = _ref_train(texts, n_merges=300, min_count=1)
+    assert got == want
+    assert len(got) >= 50  # deep enough to be a real stress
+
+
 def test_bpe_encode_reconstructs_words(spark):
     """Concatenating a word's subwords reproduces word + end marker —
     BPE is a segmentation, never lossy."""
