@@ -345,6 +345,82 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
     return result
 
 
+CORPUS_WORLD = os.environ.get(
+    "SPARK_GRAFT_CORPUS_WORLD", "/tmp/spark_frontier_corpus_world_v2"
+)
+CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "100000"))
+
+
+def run_corpus_bench(cores: int, timed_runs: int = 2) -> dict:
+    """The integrated LLM-data funnel (pipeline/corpus.py) over the
+    deterministic synthetic corpus: docs/sec through cheap signals →
+    exact dedup → MinHash near-dup clusters → dup-ngram spans → packing
+    + store commits. Same protocol as the frontier legs: fresh store per
+    run, one untimed warmup, min over ``timed_runs`` timed runs
+    (host noise is additive; min estimates the uncontaminated cost)."""
+    import shutil
+    import tempfile
+
+    from spark_frontier.pipeline.corpus import run_corpus_filter
+    from spark_frontier.pipeline.synth import NOW, gen_corpus
+    from spark_frontier.session import get_spark, stop_spark
+
+    docs_path = gen_corpus(CORPUS_WORLD, n_docs=CORPUS_DOCS)
+    stop_spark()
+    spark = get_spark("corpus-bench", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    walls = []
+    report = None
+    for rep in range(timed_runs + 1):
+        d = tempfile.mkdtemp(prefix="corpus_bench_store_")
+        try:
+            t0 = time.time()
+            rep_report = run_corpus_filter(spark, docs, d, batch_ts=NOW)
+            wall = time.time() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        if rep > 0:  # rep 0 is the JIT/Arrow-worker warmup
+            walls.append(wall)
+            if wall <= min(walls):  # keep the best run's stage trace
+                report = rep_report
+    stop_spark()
+    best = min(walls)
+    return {
+        "cores": cores,
+        "n_docs": n_docs,
+        "wall_s": round(best, 3),
+        "walls_all_s": [round(w, 3) for w in walls],
+        "docs_per_sec": round(n_docs / best, 2),
+        "funnel": {k: report[k] for k in
+                   ("n_input", "n_exact", "n_neardup", "n_dupgram",
+                    "n_kept", "n_sequences") if k in report},
+        "stage_walls_s": report.get("stage_walls_s", {}),
+    }
+
+
+def _corpus_in_subprocess(cores: int, pin: bool = True,
+                          timed_runs: int = 2) -> dict:
+    import subprocess
+
+    cmd = [sys.executable, "-c",
+           "import json, bench; "
+           "print('BENCHJSON ' + json.dumps(bench.run_corpus_bench("
+           f"{cores}, timed_runs={timed_runs})))"]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON "):
+            return json.loads(line[len("BENCHJSON "):])
+    raise RuntimeError(f"corpus bench failed: {out.stderr[-2000:]}")
+
+
 def run_query_bench() -> dict:
     import __spark_entry__ as entry_mod
 
@@ -515,6 +591,8 @@ def main() -> None:
     control = _host_control(n_cores, n4_cores)
     fr_n = _frontier_in_subprocess(n_cores, timed_cycles=2)
     fr_4n = _frontier_in_subprocess(n4_cores, timed_cycles=3)
+    co_n = _corpus_in_subprocess(n_cores, timed_runs=2)
+    co_4n = _corpus_in_subprocess(n4_cores, timed_runs=3)
     full = (
         _frontier_in_subprocess(CPUS, pin=False, timed_cycles=2)
         if CPUS > n4_cores else None
@@ -536,6 +614,13 @@ def main() -> None:
             "scaling_efficiency_n_to_4n": eff,
             "full_machine": full,
             "host_control": control,
+        },
+        "corpus": {
+            "n_cores": co_n,
+            "4n_cores": co_4n,
+            "scaling_efficiency_n_to_4n": round(
+                co_4n["docs_per_sec"] / (4.0 * co_n["docs_per_sec"]), 3
+            ),
         },
     }
     # Full audit detail goes to a file + a non-final stdout line: round 4's
@@ -561,6 +646,12 @@ def main() -> None:
             "scaling_efficiency_n_to_4n": eff,
             "host_ceiling_efficiency":
                 control["host_ceiling_efficiency"],
+        },
+        "corpus": {
+            "docs_per_sec_n": co_n["docs_per_sec"],
+            "docs_per_sec_4n": co_4n["docs_per_sec"],
+            "scaling_efficiency_n_to_4n":
+                detail["corpus"]["scaling_efficiency_n_to_4n"],
         },
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -244,33 +244,53 @@ def minhash_lsh_pairs(
     # signatures feed both sides of the bucket self-join — materialize once
     sigs = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col
                               ).transform(materialize)
+    # the banded rows carry ONLY (doc_id, band, bucket): shuffling the
+    # full num_perm-long signature through the exploded self-join moves
+    # bands × sig_size bytes per doc (measured 2.7 GB at just 84k docs —
+    # the whole join phase stopped scaling); candidates join the
+    # signatures back AFTER dedup, so shuffle volume is ∝ candidates,
+    # not ∝ corpus × bands
     banded = sigs.select(
         "doc_id",
-        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
+                # hash the slice ARRAY natively: the old .cast("string")
+                # formatted 4 longs into text per band per row (2×, both
+                # join sides) — pure allocation; equal slices ⟺ equal
+                # hash either way, which is all the bucket key needs
                 lambda b: F.xxhash64(
                     F.slice(
                         F.col("signature"),
                         b * rows_per_band + 1,
                         rows_per_band,
-                    ).cast("string")
+                    )
                 ),
             )
         ).alias("band", "bucket"),
     )
-    cand = (
+    cand_ids = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        cand_ids
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("signature").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("signature").alias("sig_b")),
+            "doc_b",
+        )
     )
     est = F.size(
         F.filter(

@@ -54,45 +54,74 @@ def stopword_ratio(col, lang: str = "en") -> F.Column:
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
-def quality_score(col) -> F.Column:
-    """Composite ∈ [0,1]: length band + low punctuation + stopword presence
-    (the classic cheap heuristics a pretraining filter runs first)."""
-    n_tok = token_count(col).cast("double")
+_LANGS = sorted(STOPWORDS)  # de, en, es, fr — tie-break order
+
+
+def token_signals(col) -> F.Column:
+    """ONE tokenization pass over a document: array of
+    [n_tokens, hits_de, hits_en, hits_es, hits_fr].
+
+    The round-4 lang_id inlined ``tokens(col)`` into one HOF filter PER
+    LANGUAGE (Catalyst re-evaluates the whole normalize+split per
+    consumer, the q27 scorer lesson), so every doc tokenized 4× for
+    lang + 2× more for quality. This single ``aggregate`` does it once;
+    per token the step is 4 hash-set probes + a 5-int array. lang_id /
+    quality_score / cheap_signals all derive from these counts, so the
+    values (and the DuckDB oracle) are unchanged."""
+    toks = tokens(col)
+    zero = F.array(*[F.lit(0) for _ in range(1 + len(_LANGS))])
+
+    def _step(acc, t):
+        return F.array(
+            acc[0] + 1,
+            *[
+                acc[i + 1] + t.isin(*STOPWORDS[lg]).cast("int")
+                for i, lg in enumerate(_LANGS)
+            ],
+        )
+
+    return F.aggregate(toks, zero, _step)
+
+
+def lang_from_signals(sig) -> F.Column:
+    """Argmax language from a ``token_signals`` array; 'und' when all
+    hit counts are zero. First max in ``_LANGS`` order == the
+    alphabetical tie-break the oracle replays."""
+    scores = F.slice(sig, 2, len(_LANGS))
+    mx = F.array_max(scores)
+    langs = F.array(*[F.lit(lg) for lg in _LANGS])
+    return F.when(
+        mx > 0,
+        F.element_at(langs, F.array_position(scores, mx).cast("int")),
+    ).otherwise(F.lit("und"))
+
+
+def quality_from_signals(sig, col) -> F.Column:
+    """quality_score from precomputed token counts (punctuation still
+    reads the raw text — one regexp, no tokenization)."""
+    n_tok = sig[0].cast("double")
     len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
-    stop_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    en_hits = sig[1 + _LANGS.index("en")].cast("double")
+    stop_score = F.least(
+        en_hits / F.greatest(n_tok, F.lit(1.0)) * 4.0, F.lit(1.0)
+    )
     return ((len_score + punct_score + stop_score) / F.lit(3.0)).alias(
         "quality_score"
     )
+
+
+def quality_score(col) -> F.Column:
+    """Composite ∈ [0,1]: length band + low punctuation + stopword presence
+    (the classic cheap heuristics a pretraining filter runs first)."""
+    return quality_from_signals(token_signals(col), col)
 
 
 def lang_id(col) -> F.Column:
     """Argmax of per-language stopword hits; 'und' (undetermined) when all
     zero. Deterministic tie-break by language code order (en<es<de<fr is
     resolved alphabetically: de, en, es, fr)."""
-    toks = tokens(col)
-
-    def _hits(sws):
-        # single-arg lambda required: F.filter treats a 2-arg lambda as
-        # (element, index), so a `sw=...` default would receive the index
-        return F.size(F.filter(toks, lambda t: t.isin(*sws)))
-
-    scores = [(lang, _hits(sws)) for lang, sws in sorted(STOPWORDS.items())]
-    pairs = F.array(
-        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
-    )
-    best = F.get(
-        F.array_sort(
-            pairs,
-            lambda a, b: F.when(a["score"] > b["score"], -1)
-            .when(a["score"] < b["score"], 1)
-            .when(a["lang"] < b["lang"], -1)
-            .when(a["lang"] > b["lang"], 1)
-            .otherwise(0),
-        ),
-        0,
-    )
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return lang_from_signals(token_signals(col))
 
 
 def fingerprint(col) -> F.Column:

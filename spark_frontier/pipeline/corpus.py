@@ -47,10 +47,10 @@ def cheap_signals(
     Shared by the batch funnel and the streaming ingest so their gate
     semantics can never drift."""
     from spark_frontier.analytics.textstats import (
-        lang_id,
-        quality_score,
+        lang_from_signals,
+        quality_from_signals,
         repetition_signals,
-        token_count,
+        token_signals,
     )
 
     rep = repetition_signals(docs).select(
@@ -66,6 +66,13 @@ def cheap_signals(
         base = base.join(saf, "doc_id", "left")
     else:
         base = base.withColumn("_saf_drop", F.lit(False))
+    # ONE tokenization pass per doc: token_signals behind an explode
+    # barrier (Generate blocks projection collapse, so lang/quality/
+    # n_tokens below read the bound `_sig` attribute instead of inlining
+    # — and re-running — the aggregate per derived column)
+    base = base.withColumn(
+        "_sig", F.explode(F.array(token_signals(F.col("text"))))
+    )
     return (
         base
         .join(rep, "doc_id", "left")
@@ -73,9 +80,11 @@ def cheap_signals(
             "doc_id",
             "text",
             "source",
-            lang_id(F.col("text")).alias("lang"),
-            F.round(quality_score(F.col("text")), 6).alias("quality"),
-            token_count(F.col("text")).alias("n_tokens"),
+            lang_from_signals(F.col("_sig")).alias("lang"),
+            F.round(
+                quality_from_signals(F.col("_sig"), F.col("text")), 6
+            ).alias("quality"),
+            F.col("_sig")[0].alias("n_tokens"),
             "dup_word_frac",
             "top_bigram_frac",
             (~F.coalesce("_saf_drop", F.lit(False))).alias("safety_ok"),
@@ -130,7 +139,6 @@ def run_corpus_filter(
     )
     from spark_frontier.analytics.dedup import (
         dedup_clusters,
-        exact_dedup,
         minhash_lsh_pairs,
         normalize_text,
         semdedup,
@@ -138,12 +146,34 @@ def run_corpus_filter(
     from spark_frontier.analytics.packing import pack_sequences
     from spark_frontier.analytics.sampling import stratified_mix
 
+    import time as _time
+
     batch_ts = batch_ts or datetime.now(timezone.utc)
     store = SnapStore(store_root)
     report: dict = {"batch_ts": batch_ts.isoformat()}
+    # per-stage wall clocks (driver-observed, barriers included) — the
+    # bench's corpus leg reports these so fixed-vs-parallel cost per
+    # stage is auditable, mirroring the crawl CycleReport's _tr trace
+    stage_walls: dict[str, float] = {}
+    report["stage_walls_s"] = stage_walls
+    _last = [_time.time()]
 
-    # ---- cheap per-doc signals: ONE projection, ONE funnel aggregate
-    sig = materialize(cheap_signals(
+    def _tick(name: str) -> None:
+        now = _time.time()
+        stage_walls[name] = round(now - _last[0], 3)
+        _last[0] = now
+
+    # ---- cheap per-doc signals + gates: ONE materialized pass (round
+    # 5; was three driver barriers). Funnel counts ride an Observation
+    # on the same job (the crawl pipeline's pattern), and the content
+    # fingerprint is computed here so the exact-dedup stage and the
+    # final commit never re-derive it. NOT a window over fingerprint:
+    # that would shuffle full rows (text included); the keeper groupBy
+    # below exchanges only (fingerprint, doc_id) pairs and joins back
+    # against the checkpointed survivors.
+    from pyspark.sql import Observation
+
+    sig = cheap_signals(
         docs,
         allowed_langs=allowed_langs,
         min_quality=min_quality,
@@ -151,9 +181,11 @@ def run_corpus_filter(
         max_top_bigram_frac=max_top_bigram_frac,
         safety_keywords=safety_keywords,
         safety_max_hit_frac=safety_max_hit_frac,
-    ))
-    funnel = sig.agg(
-        F.count("*").alias("n_input"),
+    )
+    obs = Observation("corpus_funnel")
+    sig = sig.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("lang_ok").cast("long")).alias("n_lang"),
         F.sum((F.col("lang_ok") & F.col("quality_ok")).cast("long")).alias(
             "n_quality"
@@ -166,23 +198,27 @@ def run_corpus_filter(
             (F.col("lang_ok") & F.col("quality_ok") & F.col("rep_ok")
              & F.col("safety_ok")).cast("long")
         ).alias("n_safety"),
-    ).first()
+    )
+    live = materialize(
+        sig.filter("lang_ok AND quality_ok AND rep_ok AND safety_ok")
+        .drop("lang_ok", "quality_ok", "rep_ok", "safety_ok")
+        .withColumn("fingerprint", F.md5(normalize_text(F.col("text"))))
+    )
+    funnel = obs.get
     report.update({k: int(funnel[k]) for k in
                    ("n_input", "n_lang", "n_quality", "n_repetition")})
     if safety_keywords is not None:
         report["n_safety"] = int(funnel["n_safety"])
+    _tick("signals")
 
-    live = materialize(
-        sig.filter("lang_ok AND quality_ok AND rep_ok AND safety_ok")
-        .drop("lang_ok", "quality_ok", "rep_ok", "safety_ok")
-    )
-
-    # ---- exact dedup: keep the min doc_id per normalized-text hash
-    keepers = exact_dedup(live).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
+    # ---- exact dedup: keep the min doc_id per fingerprint. Only the
+    # (fingerprint, doc_id) projection shuffles; text stays put.
+    keepers = live.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
     live = materialize(live.join(keepers, "doc_id", "semi"))
     report["n_exact"] = live.count()
+    _tick("exact_dedup")
 
     # ---- MinHash near-dup: keep one representative per cluster
     pairs = minhash_lsh_pairs(live, threshold=neardup_threshold)
@@ -198,6 +234,7 @@ def run_corpus_filter(
         )
     )
     report["n_neardup"] = live.count()
+    _tick("neardup")
 
     # ---- cross-doc duplicated n-gram spans (exact-substring signal)
     dupg = dup_ngram_signals(live, n=8, drop_threshold=dup_gram_threshold)
@@ -206,6 +243,7 @@ def run_corpus_filter(
                   "doc_id", "semi")
     )
     report["n_dupgram"] = live.count()
+    _tick("dupgram")
 
     # ---- benchmark decontamination (optional)
     if eval_docs is not None:
@@ -296,6 +334,7 @@ def run_corpus_filter(
         (F.max(F.col("seq_last")) + 1).alias("n")
     ).first()["n"]
     report["n_sequences"] = int(n_seq) if n_seq is not None else 0
+    _tick("packing")
 
     # ---- PII scrubbing (optional): committed text is the REDACTED form
     # (the q42 operator); the fingerprint below still hashes the text as
@@ -303,7 +342,11 @@ def run_corpus_filter(
     if scrub_pii_text:
         from spark_frontier.analytics.pii import scrub_pii
 
-        live = live.withColumn("text", scrub_pii(F.col("text")))
+        # the fingerprint must hash the text AS COMMITTED (the scrubbed
+        # form), so re-derive it after redaction
+        live = live.withColumn("text", scrub_pii(F.col("text"))).withColumn(
+            "fingerprint", F.md5(normalize_text(F.col("text")))
+        )
 
     # ---- deterministic split assignment (optional) rides the kept set
     if splits is not None:
@@ -317,7 +360,7 @@ def run_corpus_filter(
 
     # ---- commit: docs + packing + funnel row (summaries carry lineage)
     store.table("corpus_docs").overwrite(
-        live.withColumn("fingerprint", F.md5(normalize_text(F.col("text")))),
+        live,  # fingerprint already on the row from the exact-dedup pass
         summary={"op": "corpus_filter", "batch_ts": report["batch_ts"],
                  "n_kept": report["n_kept"]},
     )
@@ -337,4 +380,5 @@ def run_corpus_filter(
             k: v for k, v in report.items() if isinstance(v, int)}},
         small=True,
     )
+    _tick("commit")
     return report

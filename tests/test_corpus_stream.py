@@ -93,6 +93,62 @@ def test_corpus_stream_incremental_dedup(spark, tmp_path_factory):
     assert 300 in ids and not ids & {200, 201, 202}
 
 
+def test_corpus_stream_kill_mid_stream_resume(spark, tmp_path_factory,
+                                              monkeypatch):
+    """Kill-mid-stream/resume (round-4 VERDICT item 7, mirroring the
+    frontier's wave-resume test): crash the ingest on its SECOND
+    corpus_docs append, resume from the SAME checkpoint, and the final
+    corpus_docs set must equal an uninterrupted run's — the crashed
+    micro-batch replays, the committed-fingerprint anti-join makes the
+    replay idempotent, and nothing is double-counted or lost."""
+    from spark_frontier.storage.snapstore import SnapTable
+
+    rows = [(i, _doc(i % 11), "web") for i in range(30)]  # cross-file dups
+    src = str(tmp_path_factory.mktemp("docstream4"))
+    _write_docs(spark, rows, src, n_files=6)
+
+    # uninterrupted reference run
+    ref_store = str(tmp_path_factory.mktemp("cstore_ref"))
+    q = start_corpus_stream(
+        spark, src, ref_store, str(tmp_path_factory.mktemp("ck_ref")),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    ref = SnapStore(ref_store).table("corpus_docs").read(spark)
+    want_fp = sorted(r["fingerprint"] for r in ref.collect())
+
+    # killed run: the 2nd micro-batch's docs append raises mid-commit
+    store_root = str(tmp_path_factory.mktemp("cstore_kill"))
+    ckpt = str(tmp_path_factory.mktemp("ck_kill"))
+    real_append = SnapTable.append
+    state = {"docs_appends": 0, "crash": True}
+
+    def _crashing_append(self, df, summary=None, **kw):
+        if self.name == "corpus_docs" and state["crash"]:
+            state["docs_appends"] += 1
+            if state["docs_appends"] == 2:
+                raise RuntimeError("simulated mid-stream crash")
+        return real_append(self, df, summary=summary, **kw)
+
+    monkeypatch.setattr(SnapTable, "append", _crashing_append)
+    q = start_corpus_stream(spark, src, store_root, ckpt,
+                            max_files_per_trigger=1)
+    with pytest.raises(Exception, match="simulated mid-stream crash"):
+        q.awaitTermination(180)
+    n_partial = SnapStore(store_root).table("corpus_docs").read(spark)
+    assert n_partial is not None  # batch 1 landed, stream died after
+
+    # resume from the same checkpoint with the fault cleared
+    state["crash"] = False
+    q2 = start_corpus_stream(spark, src, store_root, ckpt,
+                             max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got = SnapStore(store_root).table("corpus_docs").read(spark)
+    got_fp = sorted(r["fingerprint"] for r in got.collect())
+    assert got_fp == want_fp          # same set, no loss
+    assert len(set(got_fp)) == len(got_fp)  # and no double-counted doc
+
+
 def test_corpus_stream_bloom_parity(spark, tmp_path_factory):
     """Bloom on vs off produce the IDENTICAL fingerprint set (the probe
     short-circuits, never decides), and the committed bloom's
