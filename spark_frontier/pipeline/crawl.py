@@ -17,10 +17,13 @@ north_rule's per-batch lineage.
 
 RESUMABILITY: a cycle processes the frontier in WAVES (max_per_host per
 host per wave). Every table commit rides an async lane keyed by table
-(strictly ordered within a table, concurrent across tables; the bloom
-delta chains after the links appends so its ``covers_links`` provenance
-reads the cycle-final head), and all lanes are fully drained before the
-cycle returns. A kill loses at most one uncommitted wave — its keys are
+(strictly ordered within a table, concurrent across tables), and all
+lanes are fully drained before the cycle returns. The seen-filter is
+maintained by NEXT-cycle init catch-up (bloom_catchup/cuckoo_catchup
+fold the links delta in on the init thread, overlapped with discovery)
+— a filter whose ``covers_links`` lags the links HEAD is caught up
+incrementally, and one that can't be (retention rewrote the range) is
+rebuilt. A kill loses at most one uncommitted wave — its keys are
 still absent from links, so a resumed cycle re-crawls exactly that wave
 and the append stays duplicate-free; a bloom whose ``covers_links``
 provenance doesn't match the links HEAD is rebuilt, so no crash ordering
@@ -397,14 +400,65 @@ def _run_cycle_inner(
                     _cmeta = bloom_tbl.summary()
                     _cap = (int(_cmeta.get("n_buckets") or 0) * 4
                             * bloom_segments)
-                    if (_cmeta.get("covers_links") != links_snapshot
-                            or _cmeta.get("n_segments") != bloom_segments
+                    _ccovers = _cmeta.get("covers_links")
+                    _ckeys = int(_cmeta.get("n_keys") or 0)
+                    if (_cmeta.get("n_segments") != bloom_segments
                             # outgrown (insert would overflow) → rebuild
                             # bigger, the bloom's capacity-check analogue
-                            or int(_cmeta.get("n_keys") or 0) > 0.8 * _cap):
+                            or _ckeys > 0.8 * _cap):
                         segments = None
+                    elif _ccovers != links_snapshot:
+                        # round-5 catch-up (see the bloom branch): fold
+                        # the links delta in-place on the init thread —
+                        # the cuckoo's incremental insert — instead of a
+                        # cycle-end delta commit in the tail
+                        delta_df = None
+                        if _ccovers:
+                            try:
+                                delta_df = links_tbl.read_changes(
+                                    spark, _ccovers
+                                )
+                            except ValueError:
+                                segments = None
+                        else:
+                            segments = None
+                        if segments is not None and delta_df is not None:
+                            from spark_frontier.functions.cuckoo import (
+                                insert_cuckoo_keys,
+                            )
+
+                            nk = materialize(delta_df.select("url_key"))
+                            n_total = _ckeys + nk.count()
+                            if n_total > 0.8 * _cap:
+                                segments = None  # would overflow
+                            else:
+                                try:
+                                    segments = materialize(
+                                        insert_cuckoo_keys(
+                                            segments, nk,
+                                            n_segments=bloom_segments,
+                                        )
+                                    )
+                                except Exception:
+                                    segments = None  # full → rebuild
+                                else:
+                                    seen_count = n_total
+                                    _async(
+                                        bloom_tbl.overwrite, segments,
+                                        summary={
+                                            "op": "cuckoo_catchup",
+                                            "covers_links": links_snapshot,
+                                            "n_segments": bloom_segments,
+                                            "n_buckets": _cmeta.get(
+                                                "n_buckets"),
+                                            "n_keys": n_total,
+                                        },
+                                        small=True, _lane="links",
+                                    )
+                        elif segments is not None:
+                            seen_count = _ckeys
                     else:
-                        seen_count = _cmeta.get("n_keys")
+                        seen_count = _ckeys
                 if segments is None:
                     import math as _math
 
@@ -438,18 +492,62 @@ def _run_cycle_inner(
                 segments = bloom_tbl.read(spark)
                 if segments is not None:
                     _bmeta = bloom_tbl.summary()
-                    if (_bmeta.get("covers_links") != links_snapshot
-                            or _bmeta.get("n_segments") != bloom_segments):
-                        # stale provenance, or built under a different —
-                        # or UNRECORDED (legacy snapshot: assuming it used
-                        # the current modulus would probe the wrong bitmap
-                        # → false negatives) — segment modulus
-                        # → full rebuild
+                    _covers = _bmeta.get("covers_links")
+                    _mb_meta = _bmeta.get("m_bits")
+                    if _bmeta.get("n_segments") != bloom_segments:
+                        # built under a different — or UNRECORDED
+                        # (legacy snapshot: assuming it used the current
+                        # modulus would probe the wrong bitmap → false
+                        # negatives) — segment modulus → full rebuild
                         segments = None
-                    else:
+                    elif _covers != links_snapshot:
+                        # CATCH-UP (round 5): cycles no longer commit an
+                        # end-of-cycle bloom delta — it was the entire
+                        # commit tail (~4 s at 8 cores, pure serial
+                        # drain). The NEXT cycle folds the links delta
+                        # in HERE instead, on the init thread, hidden
+                        # behind sitemap discovery. Requires the
+                        # recorded snapshot to be an ancestor readable
+                        # incrementally; a rewrite in the range
+                        # (retention) or missing provenance/m_bits falls
+                        # back to the full rebuild below — the existing
+                        # self-healing discipline.
+                        delta_df = None
+                        if _covers and _mb_meta:
+                            try:
+                                delta_df = links_tbl.read_changes(
+                                    spark, _covers
+                                )
+                            except ValueError:
+                                segments = None
+                        else:
+                            segments = None
+                        if segments is not None and delta_df is not None:
+                            from spark_frontier.functions.bloom import (
+                                merge_bloom_segments,
+                            )
+
+                            dseg = build_bloom_segments(
+                                delta_df.select("url_key"),
+                                n_segments=bloom_segments,
+                                m_bits=int(_mb_meta),
+                            )
+                            segments = materialize(
+                                merge_bloom_segments(segments, dseg)
+                            )
+                            _async(
+                                bloom_tbl.overwrite, segments,
+                                summary={"op": "bloom_catchup",
+                                         "covers_links": links_snapshot,
+                                         "n_segments": bloom_segments,
+                                         "m_bits": int(_mb_meta)},
+                                small=True, _lane="links",
+                            )
+                    if segments is not None:
                         # ONE agg job: capacity check + the m_bits the
-                        # delta build needs (a second agg per cycle is
-                        # pure serial tail)
+                        # probe needs (a second agg per cycle is pure
+                        # serial tail); runs on the caught-up segments,
+                        # so an outgrown filter still rebuilds bigger
                         cap = segments.agg(
                             F.sum("m_bits").alias("mb"),
                             F.sum("n_items").alias("n"),
@@ -632,7 +730,6 @@ def _run_cycle_inner(
         # for the final wave it computes on the async commit lane
         hs_next: DataFrame | None = None  # lazy fold from the latest wave
 
-        wave_key_slices: list[DataFrame] = []  # valid keys per wave (for bloom)
         wave_site_slices: list[DataFrame] = []  # (site_id, is_valid) for K3 logs
         wave = 0
         while wave < max_waves:
@@ -720,10 +817,21 @@ def _run_cycle_inner(
             )
             _tr(f"wave{wave}_materialize")
 
-            n_wave = int(obs_v.get["n"] or 0)
-            n_unseen = int(obs_unseen.get["n"])
-            n_ok = int(obs_v.get["ok"] or 0)
-            n_valid = int(obs_v.get["valid"] or 0)
+            def _obs_n(obs, key):
+                # a runtime-empty frontier lets AQE's empty-relation
+                # propagation prune the CollectMetrics node out of the
+                # executed plan, so the Observation never fires and .get
+                # raises — which happens exactly when the metric is 0
+                # (first seen on a fully-seen world: zero unseen URLs)
+                try:
+                    return int(obs.get[key] or 0)
+                except Exception:
+                    return 0
+
+            n_wave = _obs_n(obs_v, "n")
+            n_unseen = _obs_n(obs_unseen, "n")
+            n_ok = _obs_n(obs_v, "ok")
+            n_valid = _obs_n(obs_v, "valid")
             if wave == 1:
                 report.new_urls_found = n_unseen
             if n_wave == 0:
@@ -751,18 +859,22 @@ def _run_cycle_inner(
             # crash before the append simply re-crawls the wave on resume
             # (keys are still absent from links → dedup readmits; append
             # stays duplicate-free).
-            valid_rows = rows_full.filter(F.col("is_valid")).select(*LINK_COLUMNS)
+            # METADATA-ONLY commit (round 5): the wave's lineage files
+            # already hold every link row; register them into links as
+            # an (is_valid, LINK_COLUMNS) shared view instead of
+            # re-serializing ~n_valid rows a second time. The links-lane
+            # ordering (and the watermark chained behind it) is
+            # unchanged — only the tail's biggest write disappears.
             _async(
-                links_tbl.append,
-                valid_rows,
+                links_tbl.append_shared_files,
+                wave_files,
+                where="is_valid",
+                columns=list(LINK_COLUMNS),
                 summary={"op": "wave", "wave": wave, "rows": n_wave,
                          "fetched_ok": n_ok, "valid": n_valid},
                 _lane="links",
             )
             _tr(f"wave{wave}_links_append")
-            wave_key_slices.append(
-                rows_full.filter(F.col("is_valid")).select("url_key")
-            )
 
             if collect_metrics:
                 wave_site_slices.append(rows_full.select("site_id", "is_valid"))
@@ -787,88 +899,12 @@ def _run_cycle_inner(
                 else attempted.unionByName(slice_df)
             )
 
-        # --- end-of-cycle bloom: one delta merge covering the cycle's new
-        # keys, committed with the FINAL links snapshot id as provenance.
-        # (Waves never consult the bloom for in-cycle keys — `attempted`
-        # covers those — so per-wave bloom commits would be pure overhead.)
-        if (use_bloom and segments is not None and wave_key_slices
-                and seen_filter == "cuckoo"):
-            from functools import reduce
-
-            from spark_frontier.functions.cuckoo import insert_cuckoo_keys
-
-            new_keys = reduce(lambda a, b: a.unionByName(b), wave_key_slices)
-            seg_in = segments
-            n_prior = int(seen_count or 0)
-
-            def _compute_cuckoo_delta():
-                nk = materialize(new_keys.select("url_key"))
-                return materialize(
-                    insert_cuckoo_keys(
-                        seg_in, nk, n_segments=bloom_segments
-                    )
-                ), nk.count()
-
-            fut_ck = _async(_compute_cuckoo_delta, _lane="bloom_compute")
-
-            def _commit_cuckoo_delta():
-                # a failed insert (cycle outgrew the remaining capacity)
-                # SKIPS the commit: the previous filter's covers_links no
-                # longer matches the new links head, so the next cycle's
-                # provenance check rebuilds bigger from the full seen set
-                # — the same self-healing the bloom path relies on
-                try:
-                    merged, n_new = fut_ck.result()
-                except Exception:
-                    return
-                bloom_tbl.overwrite(
-                    merged,
-                    summary={"op": "cuckoo_delta",
-                             "n_segments": bloom_segments,
-                             "n_buckets": bloom_tbl.summary().get(
-                                 "n_buckets"),
-                             "n_keys": n_prior + int(n_new),
-                             "covers_links": links_tbl.snapshot_id},
-                    small=True,
-                )
-
-            _async(_commit_cuckoo_delta, _lane="links")
-            _tr("bloom_delta")
-        elif use_bloom and segments is not None and wave_key_slices:
-            from functools import reduce
-
-            from spark_frontier.functions.bloom import merge_bloom_segments
-
-            new_keys = reduce(lambda a, b: a.unionByName(b), wave_key_slices)
-            seg_in, mb = segments, int(bloom_m_bits)
-
-            def _compute_bloom_delta():
-                # independent lane: the merge's Spark work overlaps the
-                # other commit lanes; only the tiny table write below
-                # needs the links ordering
-                delta = build_bloom_segments(
-                    new_keys, n_segments=bloom_segments, m_bits=mb
-                )
-                return materialize(merge_bloom_segments(seg_in, delta))
-
-            fut_bloom = _async(_compute_bloom_delta, _lane="bloom_compute")
-
-            def _commit_bloom_delta():
-                # runs on the links lane AFTER the queued links appends,
-                # so links_tbl.snapshot_id — read HERE, at commit time —
-                # is the cycle-final head this bloom covers (waiting on an
-                # EARLIER-submitted future is deadlock-free: pool workers
-                # pick tasks in submission order)
-                bloom_tbl.overwrite(
-                    fut_bloom.result(),
-                    summary={"op": "bloom_delta", "n_segments": bloom_segments,
-                             "m_bits": mb,
-                             "covers_links": links_tbl.snapshot_id},
-                    small=True,
-                )
-
-            _async(_commit_bloom_delta, _lane="links")
-            _tr("bloom_delta")
+        # No end-of-cycle bloom/cuckoo delta (round 5): the delta build +
+        # merge + commit were the cycle's whole async-drain tail (no
+        # compute left to hide them behind). The NEXT cycle's init
+        # thread folds the links delta into the filter incrementally
+        # (bloom_catchup / cuckoo_catchup above), overlapped with
+        # sitemap discovery — same provenance discipline, zero tail.
 
         # host-state: ONE commit per cycle (the reference loses this state
         # entirely on restart — rate_limiter.py:16-24; we persist the
@@ -984,12 +1020,36 @@ def retention_cleanup(store: SnapStore, spark: SparkSession,
                   f"- INTERVAL {ttl_days} DAYS")
         cuckoo = store.table("cuckoo")
         expired = None
+        catchup = None
+        meta = {}
         if cuckoo.exists():
-            # capture the keys BEFORE the delete rewrites the table —
-            # they are exactly what leaves the cuckoo filter
-            expired = materialize(
-                links.read(spark).filter(cutoff).select("url_key")
-            )
+            # Since round 5 the filter may lag links (cycle-end delta
+            # commits moved to next-cycle init catch-up), and deleting a
+            # key that was never INSERTED can evict a colliding key's
+            # fingerprint — a false negative. So: fold the uncovered
+            # links delta in FIRST (the cuckoo's incremental insert),
+            # then delete. Both input sets are captured BEFORE the
+            # delete_where rewrite. If the delta isn't incrementally
+            # readable, skip the in-place path — the rewrite invalidates
+            # provenance and the next cycle rebuilds from scratch.
+            meta = cuckoo.summary()
+            in_place = True
+            if meta.get("covers_links") != links.snapshot_id:
+                try:
+                    catchup = links.read_changes(
+                        spark, meta.get("covers_links")
+                    ) if meta.get("covers_links") else None
+                    if catchup is not None:
+                        catchup = materialize(catchup.select("url_key"))
+                    in_place = catchup is not None
+                except ValueError:
+                    in_place = False
+            if in_place:
+                # capture the keys BEFORE the delete rewrites the table —
+                # they are exactly what leaves the cuckoo filter
+                expired = materialize(
+                    links.read(spark).filter(cutoff).select("url_key")
+                )
         links.delete_where(
             cutoff,
             spark,
@@ -997,21 +1057,28 @@ def retention_cleanup(store: SnapStore, spark: SparkSession,
         )
         if expired is not None:
             # the cuckoo's whole point: expired keys DELETE in place —
-            # O(expired), not the bloom's O(seen) rebuild scan
-            from spark_frontier.functions.cuckoo import delete_cuckoo_keys
+            # O(expired + uncovered delta), not the bloom's O(seen)
+            # rebuild scan
+            from spark_frontier.functions.cuckoo import (
+                delete_cuckoo_keys,
+                insert_cuckoo_keys,
+            )
 
-            meta = cuckoo.summary()
             n_seg = int(meta.get("n_segments") or 16)
             n_exp = expired.count()
+            n_keys = int(meta.get("n_keys") or 0)
+            segs = cuckoo.read(spark)
+            if catchup is not None:
+                segs = insert_cuckoo_keys(segs, catchup, n_segments=n_seg)
+                n_keys += catchup.count()
             cuckoo.overwrite(
                 materialize(delete_cuckoo_keys(
-                    cuckoo.read(spark), expired, n_segments=n_seg
+                    segs, expired, n_segments=n_seg
                 )),
                 summary={"op": "cuckoo_delete_after_retention",
                          "n_segments": n_seg,
                          "n_buckets": meta.get("n_buckets"),
-                         "n_keys": max(
-                             int(meta.get("n_keys") or 0) - n_exp, 0),
+                         "n_keys": max(n_keys - n_exp, 0),
                          "covers_links": links.snapshot_id},
                 small=True,
             )

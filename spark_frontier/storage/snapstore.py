@@ -140,6 +140,31 @@ class SnapTable:
         self._commit(self.current_files() + new_files, summary)
         return new_files
 
+    def append_shared_files(self, files: list[str],
+                            where: str | None = None,
+                            columns: list[str] | None = None,
+                            summary: dict | None = None) -> str:
+        """METADATA-ONLY append: register data files another table
+        already wrote, viewed through an optional row predicate and
+        column projection (Iceberg's ``add_files`` + a merge-on-read
+        validity predicate). The crawl cycle uses this to commit the
+        links table as a (is_valid, LINK_COLUMNS) view of the wave's
+        fetch-lineage files — the commit is a manifest write, so the
+        cycle's tail no longer re-serializes every wave row a second
+        time. Readers apply the predicate/projection at scan time
+        (parquet column pruning makes the projection free; the filter is
+        one codegen comparison per row).
+
+        Ownership note: SnapStore never physically deletes data files
+        (rewrite commits leave prior files for time travel), so shared
+        references cannot dangle. A real Iceberg deployment would pin
+        the source table's snapshots or copy manifests, as add_files
+        does."""
+        entries = [
+            {"path": p, "where": where, "columns": columns} for p in files
+        ]
+        return self._commit(self.current_files() + entries, summary)
+
     def _write_files_local(self, pdf, snapshot_id: str) -> list[str]:
         """Driver-local parquet write via pyarrow — for tiny state/metrics
         tables (a crawl-log row, the sites watermark) a full Spark write
@@ -219,11 +244,14 @@ class SnapTable:
         files = self.current_files()
         if len(files) <= 1:
             return None
-        total = sum(os.path.getsize(f) for f in files)
+        paths = [e["path"] if isinstance(e, dict) else e for e in files]
+        total = sum(os.path.getsize(p) for p in paths)
         n_out = max(1, -(-total // max(target_file_bytes, 1)))
         if n_out >= len(files):
             return None
-        df = spark.read.parquet(*files).coalesce(n_out)
+        # _entries_to_df applies shared-entry predicates/projections, so
+        # compaction also REWRITES shared views into owned files
+        df = self._entries_to_df(spark, files).coalesce(n_out)
         merged = {**self.summary(), "op": "compact",
                   "files_in": len(files), "files_out": n_out,
                   **(summary or {})}
@@ -239,11 +267,44 @@ class SnapTable:
 
     # -- reads ----------------------------------------------------------------
 
+    @staticmethod
+    def _entries_to_df(spark: SparkSession, entries: list) -> DataFrame:
+        """Compose a DataFrame from manifest entries: plain paths scan
+        as-is; shared entries ({path, where, columns}) scan grouped by
+        their (where, columns) view with the predicate/projection
+        applied. All groups union by name, so every entry must resolve
+        to the table's schema."""
+        from collections import defaultdict
+
+        plain = [e for e in entries if not isinstance(e, dict)]
+        groups: dict = defaultdict(list)
+        for e in entries:
+            if isinstance(e, dict):
+                key = (e.get("where"),
+                       tuple(e.get("columns") or ()) or None)
+                groups[key].append(e["path"])
+        dfs = []
+        if plain:
+            dfs.append(spark.read.parquet(*plain))
+        for (where, cols), paths in sorted(
+            groups.items(), key=lambda kv: str(kv[0])
+        ):
+            df = spark.read.parquet(*paths)
+            if where:
+                df = df.filter(where)
+            if cols:
+                df = df.select(*cols)
+            dfs.append(df)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         files = self.current_files()
         if not files:
             return None
-        return spark.read.parquet(*files)
+        return self._entries_to_df(spark, files)
 
     def read_at(self, spark: SparkSession, snapshot_id: str
                 ) -> DataFrame | None:
@@ -253,7 +314,7 @@ class SnapTable:
         files = self._manifest(snapshot_id).get("files", [])
         if not files:
             return None
-        return spark.read.parquet(*files)
+        return self._entries_to_df(spark, files)
 
     def read_changes(self, spark: SparkSession, since_snapshot: str,
                      ) -> DataFrame | None:
@@ -274,21 +335,33 @@ class SnapTable:
                 f"{since_snapshot} is not an ancestor of HEAD for "
                 f"{self.name}"
             )
-        base = set(self._manifest(since_snapshot).get("files", []))
-        new_files: list[str] = []
+
+        def _canon(entries):
+            # dict entries aren't hashable; canonical JSON keys make the
+            # append-only set arithmetic work for shared entries too
+            return {
+                json.dumps(e, sort_keys=True) if isinstance(e, dict)
+                else e: e
+                for e in entries
+            }
+
+        base = _canon(self._manifest(since_snapshot).get("files", []))
+        new_entries: list = []
         for h in lineage[sids.index(since_snapshot) + 1:]:
-            files = set(self._manifest(h["snapshot_id"]).get("files", []))
-            if not base <= files:
+            cur = _canon(self._manifest(h["snapshot_id"]).get("files", []))
+            if not set(base) <= set(cur):
                 raise ValueError(
                     f"snapshot {h['snapshot_id']} of {self.name} rewrote "
                     "data files (overwrite/merge/delete/compact); "
                     "incremental read is append-only"
                 )
-            new_files.extend(sorted(files - base))
-            base = files
-        if not new_files:
+            new_entries.extend(
+                cur[k] for k in sorted(set(cur) - set(base))
+            )
+            base = cur
+        if not new_entries:
             return None
-        return spark.read.parquet(*new_files)
+        return self._entries_to_df(spark, new_entries)
 
     def rollback(self, snapshot_id: str) -> str:
         """Atomic HEAD swap back to an ancestor snapshot (Iceberg's

@@ -129,7 +129,7 @@ def test_auto_loop_cleanup_cadence(spark, world_dir, tmp_path_factory):
     assert ctl.cleanups_run >= 1
     bloom_meta = store.table("bloom").summary()
     assert bloom_meta.get("op") in ("bloom_rebuild_after_retention",
-                                    "bloom_build", "bloom_delta")
+                                    "bloom_build", "bloom_catchup")
 
 
 def test_sites_endpoint_and_cli_surface(spark, world_dir, tmp_path_factory):

@@ -221,14 +221,15 @@ def test_links_append_failure_aborts_watermark(spark, world, tmp_path_factory,
     from spark_frontier.storage.snapstore import SnapTable
 
     store = _fresh_store(tmp_path_factory)
-    real_append = SnapTable.append
+    real_shared = SnapTable.append_shared_files
 
-    def _failing_append(self, df, summary=None, **kw):
+    def _failing_append(self, files, **kw):
         if self.name == "links":
             raise RuntimeError("simulated links append failure")
-        return real_append(self, df, summary=summary, **kw)
+        return real_shared(self, files, **kw)
 
-    monkeypatch.setattr(SnapTable, "append", _failing_append)
+    # the links commit is the shared-files registration since round 5
+    monkeypatch.setattr(SnapTable, "append_shared_files", _failing_append)
     with pytest.raises(RuntimeError, match="simulated links append"):
         run_crawl_cycle(spark, world, store, batch_ts=NOW, days=7)
     # watermark chained on the links lane → poisoned by the failed append
@@ -274,8 +275,11 @@ def test_cuckoo_seen_filter_matches_bloom_and_deletes_on_ttl(
     cuckoo = st.table("cuckoo")
     assert cuckoo.exists()
     meta0 = cuckoo.summary()
-    assert meta0["op"] == "cuckoo_delta"  # cycle committed the delta
-    assert meta0["covers_links"] == st.table("links").snapshot_id
+    # round 5: cycle ends no longer commit a delta (the commit tail);
+    # the filter lags links and is caught up at next-cycle init
+    assert meta0["op"] == "cuckoo_build"
+    links_hist = [h["snapshot_id"] for h in st.table("links").history()]
+    assert meta0["covers_links"] in links_hist  # ancestor of HEAD
 
     n_before = st.table("links").read(spark).count()
     retention_cleanup(st, spark, now=NOW, ttl_days=2)
@@ -284,12 +288,27 @@ def test_cuckoo_seen_filter_matches_bloom_and_deletes_on_ttl(
     meta1 = cuckoo.summary()
     assert meta1["op"] == "cuckoo_delete_after_retention"  # NOT a rebuild
     assert meta1["covers_links"] == st.table("links").snapshot_id
-    assert meta1["n_keys"] < meta0["n_keys"]
+    # retention folds the uncovered delta in, then deletes: the filter
+    # now holds exactly one key per surviving link row
+    assert meta1["n_keys"] == n_after
 
     # next cycle: provenance is current → filter reused as-is, and the
     # expired URLs re-admit (the T10 quirk) through the cuckoo path
     rep = run_crawl_cycle(
         spark, world, st, batch_ts=NOW, days=7, seen_filter="cuckoo"
     )
-    assert st.table("links").read(spark).count() > n_after
-    assert cuckoo.summary()["op"] == "cuckoo_delta"
+    n_readmit = st.table("links").read(spark).count()
+    assert n_readmit > n_after
+    assert cuckoo.summary()["op"] == "cuckoo_delete_after_retention"
+
+    # cycle after that: the filter lags by the re-admitted keys → init
+    # catch-up folds them in-place (no rebuild), and NOTHING re-crawls
+    # (a catch-up false negative would leak duplicates into links)
+    run_crawl_cycle(
+        spark, world, st, batch_ts=NOW, days=7, seen_filter="cuckoo"
+    )
+    assert cuckoo.summary()["op"] == "cuckoo_catchup"
+    assert cuckoo.summary()["covers_links"] in [
+        h["snapshot_id"] for h in st.table("links").history()
+    ]
+    assert st.table("links").read(spark).count() == n_readmit

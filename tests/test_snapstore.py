@@ -193,3 +193,64 @@ def test_export_delta_job(spark, tmp_path, monkeypatch, capsys):
     # --full re-baselines
     rc, rep = run("--full")
     assert rc == 0 and rep["status"] == "exported" and rep["rows"] == 3
+
+
+def test_append_shared_files_view_and_maintenance(spark, tmp_path):
+    """Metadata-only shared-file commits (round 5): a table registered
+    as a (where, columns) view of another table's files reads exactly
+    the filtered projection; incremental reads see shared deltas; a
+    rewrite (compact) converts the view into owned files with identical
+    rows."""
+    from spark_frontier.storage.snapstore import SnapStore
+
+    store = SnapStore(str(tmp_path / "wh"))
+    lineage = store.table("lineage")
+    links = store.table("links")
+
+    rows = [(i, f"u{i}", i % 3 != 0, f"x{i}") for i in range(30)]
+    files = lineage.append_files(
+        spark.createDataFrame(
+            rows, "url_key long, url string, is_valid boolean, dbg string"
+        ),
+        summary={"op": "wave"},
+    )
+    sid0 = links.append_shared_files(
+        files, where="is_valid", columns=["url_key", "url"],
+        summary={"op": "wave"},
+    )
+    got = links.read(spark)
+    assert sorted(got.columns) == ["url", "url_key"]
+    want = sorted(k for k, _, v, _ in rows if v)
+    assert sorted(r["url_key"] for r in got.collect()) == want
+
+    # mixed manifest: a plain append unions with the shared view
+    links.append(
+        spark.createDataFrame([(100, "u100")], "url_key long, url string")
+    )
+    assert links.read(spark).count() == len(want) + 1
+
+    # incremental read across a shared commit
+    files2 = lineage.append_files(
+        spark.createDataFrame(
+            [(200, "u200", True, "y"), (201, "u201", False, "y")],
+            "url_key long, url string, is_valid boolean, dbg string",
+        ),
+        summary={"op": "wave"},
+    )
+    head_before = links.snapshot_id
+    links.append_shared_files(files2, where="is_valid",
+                              columns=["url_key", "url"])
+    delta = links.read_changes(spark, head_before)
+    assert [r["url_key"] for r in delta.collect()] == [200]
+
+    # compaction rewrites the shared view into owned files, same rows
+    before = sorted(r["url_key"] for r in links.read(spark).collect())
+    assert links.compact(spark, target_file_bytes=1 << 30) is not None
+    after = sorted(r["url_key"] for r in links.read(spark).collect())
+    assert after == before
+    assert all(not isinstance(e, dict) for e in links.current_files())
+
+    # time travel still resolves the shared view at sid0
+    assert sorted(
+        r["url_key"] for r in links.read_at(spark, sid0).collect()
+    ) == want
