@@ -787,7 +787,12 @@ def q34_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth input_hint table → decode → channel stats
-    (no driver images table, so the input is generated deterministically)."""
+    (no driver images table, so the input is generated deterministically).
+    Oracle (round 5, retiring the rows-only check): the DuckDB twin
+    carries GROUND-TRUTH stats as literals, computed from
+    ``synth_pixels`` + the codec's documented quantization rule — NOT
+    from ``decode_image`` — so the hash match proves the whole
+    encode→decode→stats path (the q35 literal-input pattern)."""
     import pandas as pd
 
     from spark_frontier.analytics.multimodal import decode_stats
@@ -1795,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY site_id
         """,
         "q21_minhash_lsh": _q21_oracle(),
+        "q24_image_stats": _q24_oracle(),
         "q22_simhash": _q22_oracle(),
         "q23_ann_lsh": _q23_oracle(),
         "q29_ann_ivf": _q29_oracle(),
@@ -2496,6 +2502,35 @@ def _q25_oracle() -> str:
 _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 _W64 = "18446744073709551616"  # 2^64 (numpy uint64 wrap)
 _P61 = "2305843009213693951"   # (1<<61)-1, the minhash prime
+
+
+def _q24_oracle() -> str:
+    """Ground-truth literals for q24: per-image channel stats derived
+    from the synthesizer's pixels and the codec's documented lossy
+    quantization (q = px//step*step + step//2, clipped) — deliberately
+    NOT via decode_image, so a decode bug cannot leak into the oracle."""
+    import numpy as np
+
+    from spark_frontier.payload.codec import _LOSSY_STEP, synth_pixels
+
+    rows = []
+    for i in range(64):
+        fmt = ["png", "jpeg", "webp"][i % 3]
+        px = synth_pixels(i, 32, 24).astype(np.int16)
+        if fmt != "png":
+            px = ((px // _LOSSY_STEP) * _LOSSY_STEP
+                  + _LOSSY_STEP // 2).clip(0, 255)
+        pxf = px.astype(np.float64)
+        mean_r = round(float(pxf[..., 0].mean()), 4)
+        std_lum = round(float(pxf.mean(axis=-1).std()), 4)
+        rows.append(f"('img-{i}', 'ok', {mean_r}, {std_lum})")
+    vals = ",\n               ".join(rows)
+    return f"""
+        SELECT image_id, ok, CAST(mean_r AS DOUBLE) AS mean_r,
+               CAST(std_lum AS DOUBLE) AS std_lum
+        FROM (VALUES {vals})
+             AS t(image_id, ok, mean_r, std_lum)
+    """
 
 
 def _q21_oracle() -> str:
