@@ -2508,10 +2508,23 @@ def _q24_oracle() -> str:
     """Ground-truth literals for q24: per-image channel stats derived
     from the synthesizer's pixels and the codec's documented lossy
     quantization (q = px//step*step + step//2, clipped) — deliberately
-    NOT via decode_image, so a decode bug cannot leak into the oracle."""
+    NOT via decode_image, so a decode bug cannot leak into the oracle.
+
+    Rounding matches Spark's ``F.round`` exactly: Spark rounds doubles
+    via ``BigDecimal(Double.toString(x)).setScale(4, HALF_UP)``;
+    ``Decimal(repr(x))`` + ROUND_HALF_UP is the Python equivalent.
+    Python's builtin ``round`` (half-even) diverges at exact halves
+    such as 127.03125 → 127.0312 vs Spark's 127.0313."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     import numpy as np
 
     from spark_frontier.payload.codec import _LOSSY_STEP, synth_pixels
+
+    def _r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
 
     rows = []
     for i in range(64):
@@ -2521,9 +2534,9 @@ def _q24_oracle() -> str:
             px = ((px // _LOSSY_STEP) * _LOSSY_STEP
                   + _LOSSY_STEP // 2).clip(0, 255)
         pxf = px.astype(np.float64)
-        mean_r = round(float(pxf[..., 0].mean()), 4)
-        std_lum = round(float(pxf.mean(axis=-1).std()), 4)
-        rows.append(f"('img-{i}', 'ok', {mean_r}, {std_lum})")
+        mean_r = _r4(float(pxf[..., 0].mean()))
+        std_lum = _r4(float(pxf.mean(axis=-1).std()))
+        rows.append(f"('img-{i}', 'ok', {mean_r!r}, {std_lum!r})")
     vals = ",\n               ".join(rows)
     return f"""
         SELECT image_id, ok, CAST(mean_r AS DOUBLE) AS mean_r,
