@@ -119,9 +119,14 @@ def main() -> int:
         # committed host_state + last committed cycle funnel
         from pyspark.sql import functions as F
 
-        from spark_frontier.politeness.backoff import blocked_hosts
+        from spark_frontier.politeness.backoff import (
+            blocked_hosts,
+            read_host_state,
+        )
 
-        hs = store.table("host_state").read(spark)
+        # pending-fold-aware read: a just-finished cycle records its
+        # final wave's host fold as a marker; status must see it folded
+        hs = read_host_state(store.table("host_state"), spark)
         blocked = (
             [r["host"] for r in blocked_hosts(hs).collect()]
             if hs is not None else []

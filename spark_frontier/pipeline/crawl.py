@@ -591,6 +591,34 @@ def _run_cycle_inner(
             hs = host_tbl.read(spark)
             if hs is None:
                 hs = empty_host_state(spark)
+            # DEFERRED-FOLD CATCH-UP (round 5): the previous cycle's
+            # FINAL-wave host fold is recorded as a pending_fold marker
+            # (lineage files + batch_ts) instead of running as the last
+            # job of its commit tail — at cycle end there is no compute
+            # left to hide the groupBy-host job behind, but HERE it
+            # overlaps sitemap discovery. Same discipline as the bloom
+            # catch-up above. Unreadable fold files (retention) fall
+            # back to the stale base, which only ever over-throttles —
+            # the documented crash-resume semantics.
+            _pend = host_tbl.summary().get("pending_fold")
+            if _pend:
+                try:
+                    _prows = spark.read.parquet(*_pend["files"]).select(
+                        "host", "politeness_deadline", "http_code"
+                    )
+                    _pts = datetime.fromisoformat(_pend["batch_ts"])
+                    hs = update_host_state(hs, _prows, _pts).transform(
+                        materialize
+                    )
+                except Exception:
+                    pass  # stale base; marker cleared below
+                # persist the folded base (clears the marker). Rides the
+                # host_state lane, so this cycle's own end-of-cycle
+                # marker commit serializes after it and re-points to
+                # these files.
+                _async(host_tbl.overwrite, hs,
+                       summary={"op": "host_state_catchup"},
+                       small=True, _lane="host_state")
             # wave 1's literal-state collect runs HERE, overlapped with
             # discovery (the limit-collect on an empty/small table still
             # costs 2-3 scale-up jobs of driver latency on the wave path)
@@ -727,8 +755,11 @@ def _run_cycle_inner(
         from pyspark.sql import Observation
 
         # the fold for wave k stays LAZY until wave k+1 actually needs it —
-        # for the final wave it computes on the async commit lane
+        # the FINAL wave's fold is deferred to the next cycle's init
+        # thread via a pending_fold marker (see the catch-up above)
         hs_next: DataFrame | None = None  # lazy fold from the latest wave
+        final_wave_files: list[str] | None = None  # fold inputs, last wave
+        hs_dirty = False  # in-memory hs diverged from the committed base
 
         wave_site_slices: list[DataFrame] = []  # (site_id, is_valid) for K3 logs
         wave = 0
@@ -740,6 +771,7 @@ def _run_cycle_inner(
             if hs_next is not None:
                 hs = hs_next.transform(materialize)
                 hs_next = None
+                hs_dirty = True
                 # LITERALIZE small host state: every broadcast exchange
                 # is a separate driver-scheduled job (~0.5-1 s serial
                 # wall each, at any core count); with ≤4096 hosts the
@@ -880,13 +912,16 @@ def _run_cycle_inner(
                 wave_site_slices.append(rows_full.select("site_id", "is_valid"))
 
             # host-state fold: LAZY — materialized only if a next wave
-            # runs (loop top); the final wave's fold computes inside the
-            # async host_state commit, off the critical path
+            # runs (loop top); the FINAL wave's fold never runs in this
+            # cycle at all — its inputs (the wave's lineage files) ride
+            # the pending_fold marker and the next cycle's init thread
+            # folds them, overlapped with discovery
             hs_next = update_host_state(
                 hs,
                 rows_full.select("host", "politeness_deadline", "http_code"),
                 batch_ts,
             )
+            final_wave_files = wave_files
             _tr(f"wave{wave}_hoststate")
 
             if stop_after_wave is not None and wave >= stop_after_wave:
@@ -910,13 +945,42 @@ def _run_cycle_inner(
         # entirely on restart — rate_limiter.py:16-24; we persist the
         # cycle-final fold; a mid-cycle crash resumes with the previous
         # cycle's politeness state, which only ever *over*-throttles).
-        # The final wave's fold is still lazy here — it computes inside
-        # this async commit.
+        # DEFERRED FINAL FOLD (round 5): the last wave's fold job
+        # (groupBy-host over every wave row) was the commit tail's
+        # dominant remaining cost — nothing left in the cycle to hide it
+        # behind. Instead of computing it here, record WHERE its inputs
+        # live (the final wave's committed lineage files + batch_ts) in
+        # the snapshot summary; the next cycle's init thread — or any
+        # reader via read_host_state() — folds them on demand. When the
+        # in-memory base never diverged from disk (single-wave cycles,
+        # the bench drain shape) the commit is METADATA-ONLY: one
+        # manifest write, zero Spark jobs in the tail. Durability is
+        # unchanged: the marker is committed before the cycle returns
+        # and is self-describing for resume.
         if report.waves > 0:
-            _async(host_tbl.overwrite,
-                   hs_next if hs_next is not None else hs,
-                   summary={"op": "host_state", "waves": report.waves},
-                   small=True, _lane="host_state")
+            if hs_next is not None and final_wave_files:
+                marker = {
+                    "op": "host_state", "waves": report.waves,
+                    "pending_fold": {
+                        "files": list(final_wave_files),
+                        "batch_ts": batch_ts.isoformat(),
+                    },
+                }
+                if hs_dirty:
+                    # multi-wave: intermediate folds live only in memory
+                    # — persist the (small, already-materialized) base
+                    # the marker's fold applies on top of
+                    _async(host_tbl.overwrite, hs, summary=marker,
+                           small=True, _lane="host_state")
+                else:
+                    _async(host_tbl.commit_same_files, marker,
+                           _lane="host_state")
+            else:
+                # drained-final-wave shape: the last real fold already
+                # materialized into hs at loop top
+                _async(host_tbl.overwrite, hs,
+                       summary={"op": "host_state", "waves": report.waves},
+                       small=True, _lane="host_state")
 
         # --- per-site per-phase crawl logs (K3 parity) --------------------
         if collect_metrics and wave_site_slices:

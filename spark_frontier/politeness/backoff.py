@@ -53,6 +53,37 @@ def empty_host_state(spark) -> DataFrame:
     )
 
 
+def read_host_state(table, spark) -> DataFrame | None:
+    """Read a persisted host-state SnapTable, applying any DEFERRED
+    final-wave fold the crawl cycle recorded (``pending_fold`` in the
+    snapshot summary: the lineage files of the cycle's last fetch wave
+    plus its batch_ts). The cycle defers that fold because at cycle end
+    there is no compute left to hide the ~2 s groupBy-host job behind —
+    the NEXT cycle folds it on the init thread, overlapped with sitemap
+    discovery; external readers (reporting, the streaming topology) get
+    the same folded view through this helper.
+
+    If the fold's lineage files are unreadable (retention rewrite,
+    manual cleanup) the stale base is returned: stale politeness state
+    only ever *over*-throttles, the documented crash-resume semantics.
+    Returns None when the table has never been written and carries no
+    pending fold.
+    """
+    hs = table.read(spark)
+    pend = (table.summary() or {}).get("pending_fold")
+    if not pend:
+        return hs
+    base = hs if hs is not None else empty_host_state(spark)
+    try:
+        rows = spark.read.parquet(*pend["files"]).select(
+            "host", "politeness_deadline", "http_code"
+        )
+        ts = datetime.fromisoformat(pend["batch_ts"])
+        return update_host_state(base, rows, ts)
+    except Exception:
+        return base
+
+
 def update_host_state(
     host_state: DataFrame,
     fetch_results: DataFrame,

@@ -198,6 +198,14 @@ class SnapTable:
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         return self._commit(self._write_files(df, sid, small=small), summary)
 
+    def commit_same_files(self, summary: dict | None = None) -> str:
+        """METADATA-ONLY commit: a new snapshot pointing at the current
+        file list with a fresh summary (Iceberg's properties-only /
+        snapshot-summary commit). The crawl cycle uses this to record a
+        deferred host-state fold marker without rewriting the unchanged
+        base table — the commit is one manifest write, no Spark job."""
+        return self._commit(list(self.current_files()), summary)
+
     def merge(
         self,
         batch: DataFrame,

@@ -245,7 +245,11 @@ def start_stream_crawl(
             n_segments=n_seg or 32,
         )
         host_tbl = store.table("host_state")
-        hs = host_tbl.read(spark) or empty_host_state(spark)
+        from spark_frontier.politeness.backoff import read_host_state
+
+        # pending-fold-aware: a batch cycle may have deferred its final
+        # wave's fold; the stream must start from the folded view
+        hs = read_host_state(host_tbl, spark) or empty_host_state(spark)
         unseen = unseen.join(
             F.broadcast(blocked_hosts(hs)), on="host", how="left_anti"
         )

@@ -76,6 +76,74 @@ def test_second_cycle_is_incremental(spark, world, tmp_path_factory):
     assert links.count() == links.select("url_key").distinct().count()
 
 
+def test_host_state_deferred_fold_parity(spark, world, tmp_path_factory):
+    """Round 5: the cycle's FINAL-wave host fold is deferred — the commit
+    records a pending_fold marker (lineage files + batch_ts) and the fold
+    runs on the NEXT cycle's init thread (or any read_host_state call),
+    value-identical to the old eager end-of-cycle fold."""
+    from spark_frontier.politeness.backoff import (
+        empty_host_state,
+        read_host_state,
+        update_host_state,
+    )
+
+    def _assert_marker_parity(store):
+        host_tbl = store.table("host_state")
+        pend = host_tbl.summary().get("pending_fold")
+        assert pend and pend["files"], "cycle must commit a pending_fold"
+        base = host_tbl.read(spark)
+        if base is None:
+            base = empty_host_state(spark)
+        rows = spark.read.parquet(*pend["files"]).select(
+            "host", "politeness_deadline", "http_code"
+        )
+        expected = update_host_state(base, rows, NOW)
+        folded = read_host_state(host_tbl, spark)
+        assert folded.exceptAll(expected).count() == 0
+        assert expected.exceptAll(folded).count() == 0
+        return pend
+
+    # single-wave drain (metadata-only marker commit)
+    s1 = _fresh_store(tmp_path_factory)
+    seed_seen_store(s1, world["url_seen"])
+    run_crawl_cycle(spark, world, s1, batch_ts=NOW, days=7)
+    pend1 = _assert_marker_parity(s1)
+
+    # multi-wave cycle (marker + persisted intermediate base)
+    s2 = _fresh_store(tmp_path_factory)
+    seed_seen_store(s2, world["url_seen"])
+    r2 = run_crawl_cycle(spark, world, s2, batch_ts=NOW, days=7,
+                         max_per_host=8)
+    assert r2.waves > 1
+    _assert_marker_parity(s2)
+
+    # next cycle folds + clears the previous marker on its init thread,
+    # then records its own
+    run_crawl_cycle(spark, world, s1, batch_ts=NOW, days=7)
+    host_tbl = s1.table("host_state")
+    ops = [h["summary"].get("op") for h in host_tbl.history()]
+    assert "host_state_catchup" in ops
+    pend2 = host_tbl.summary().get("pending_fold")
+    assert pend2 and pend2["files"] != pend1["files"]
+
+    # unreadable fold inputs degrade to the stale base (over-throttle
+    # only), never an error
+    import json as _json
+    import os as _os
+
+    sid = host_tbl.snapshot_id
+    mpath = _os.path.join(host_tbl.path, "snapshots", f"{sid}.json")
+    with open(mpath) as fh:
+        manifest = _json.load(fh)
+    manifest["summary"]["pending_fold"]["files"] = ["/nonexistent/x.parquet"]
+    with open(mpath, "w") as fh:
+        _json.dump(manifest, fh)
+    stale = read_host_state(host_tbl, spark)
+    base = host_tbl.read(spark)
+    assert stale.exceptAll(base).count() == 0
+    assert base.exceptAll(stale).count() == 0
+
+
 def test_resume_equals_uninterrupted(spark, world, tmp_path_factory):
     full = _fresh_store(tmp_path_factory)
     seed_seen_store(full, world["url_seen"])
