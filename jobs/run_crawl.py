@@ -41,6 +41,11 @@ def main() -> int:
                    help="ISO timestamp for logical time (default: now UTC)")
     p.add_argument("--cleanup-ttl-days", type=int, default=None,
                    help="also run retention cleanup with this TTL")
+    p.add_argument("--expire-keep-last", type=int, default=None,
+                   help="store maintenance after the cycle: expire each "
+                        "table's snapshot history to this depth and GC "
+                        "orphaned data files (Iceberg expire_snapshots + "
+                        "remove_orphan_files)")
     p.add_argument("--sites", action="store_true",
                    help="list configured sites and exit "
                         "(reference cli.py show_sites, :76-92)")
@@ -166,7 +171,10 @@ def main() -> int:
     if args.cleanup_ttl_days is not None:
         retention_cleanup(store, spark, now=batch_ts,
                           ttl_days=args.cleanup_ttl_days)
-    print(json.dumps(report.as_dict()))
+    out = report.as_dict()
+    if args.expire_keep_last is not None:
+        out["maintenance"] = store.expire_and_gc(args.expire_keep_last)
+    print(json.dumps(out))
     return 0
 
 

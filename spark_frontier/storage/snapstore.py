@@ -387,6 +387,75 @@ class SnapTable:
         os.replace(tmp, self._head_path)
         return snapshot_id
 
+    def expire_snapshots(self, keep_last: int = 10) -> list[str]:
+        """Iceberg ``expire_snapshots``: retain the newest ``keep_last``
+        snapshots on the HEAD lineage, delete every older manifest —
+        lineage ancestors beyond the window plus rollback-abandoned
+        branches older than the retained window — and cut the oldest
+        retained manifest's parent pointer so history() stays walkable.
+
+        Data files are NOT touched here: ``SnapStore.gc_orphans()`` is
+        the ``remove_orphan_files`` half, and it must see every table's
+        retained manifests before deleting anything (shared-file appends
+        make file references cross-table).
+
+        This bounds metadata growth for a continuous crawl — a cycle is
+        O(few) commits per state table, so an unbounded snapshots/ dir
+        is a real leak at 10^5 cycles. ``read_changes()`` across an
+        expired boundary raises ValueError, which every caller already
+        treats as rebuild-from-scratch (the bloom/cuckoo provenance
+        discipline); ``read_at()`` on an expired id fails like Iceberg's
+        VERSION AS OF on an expired snapshot."""
+        keep_last = max(1, keep_last)
+        head = self.snapshot_id
+        if head is None:
+            return []
+        chain, sid = [], head
+        while sid is not None:
+            m = self._manifest(sid)
+            chain.append((sid, m))
+            sid = m.get("parent")
+        retained = [s for s, _ in chain[:keep_last]]
+        if len(chain) > keep_last:
+            # cut the lineage at the oldest retained snapshot (atomic
+            # manifest rewrite, same os.replace discipline as HEAD)
+            cut_sid, cut_m = chain[keep_last - 1]
+            cut_m = dict(cut_m, parent=None)
+            mpath = os.path.join(self.path, "snapshots", f"{cut_sid}.json")
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cut_m, f)
+            os.replace(tmp, mpath)
+        oldest_keep_ts = min(
+            (m.get("ts") or 0) for _, m in chain[:keep_last]
+        )
+        on_chain = {s for s, _ in chain}
+        dropped = []
+        sdir = os.path.join(self.path, "snapshots")
+        for fn in sorted(os.listdir(sdir)):
+            if not fn.endswith(".json"):
+                continue
+            sid = fn[:-len(".json")]
+            if sid in retained:
+                continue
+            if sid not in on_chain:
+                # rollback-abandoned branch: expire only once it ages
+                # out of the retained window (Iceberg keeps unexpired
+                # snapshots reachable for time travel)
+                try:
+                    with open(os.path.join(sdir, fn)) as f:
+                        ts = json.load(f).get("ts") or 0
+                except (OSError, ValueError):
+                    continue
+                if ts >= oldest_keep_ts:
+                    continue
+            try:
+                os.remove(os.path.join(sdir, fn))
+            except FileNotFoundError:
+                continue
+            dropped.append(sid)
+        return dropped
+
     def exists(self) -> bool:
         return self.snapshot_id is not None
 
@@ -400,3 +469,80 @@ class SnapStore:
 
     def table(self, name: str) -> SnapTable:
         return SnapTable(self.root, name)
+
+    def table_names(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "snapshots"))
+        )
+
+    def gc_orphans(self) -> list[str]:
+        """Iceberg ``remove_orphan_files``: delete data-file directories
+        under every table's ``data/`` that NO remaining manifest of ANY
+        table references. Store-level on purpose — ``append_shared_files``
+        registers one table's physical files into another table's
+        manifest (the links table is a view of fetch_log lineage files),
+        so per-table GC would delete files a sibling still reads.
+        ``pending_fold`` markers in snapshot summaries pin their fold
+        input files too.
+
+        Granularity is a whole commit directory ``data/<snapshot>/``:
+        it is removed only when none of its parquet files are referenced
+        (co-located _SUCCESS/.crc markers go with it); a partially
+        referenced directory is left intact — conservative, like
+        Iceberg's orphan-file action. Run after ``expire_snapshots`` on
+        the tables being reclaimed."""
+        import shutil
+
+        referenced: set[str] = set()
+        names = self.table_names()
+        for name in names:
+            sdir = os.path.join(self.root, name, "snapshots")
+            for fn in os.listdir(sdir):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(sdir, fn)) as f:
+                        m = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                for e in m.get("files", []):
+                    p = e["path"] if isinstance(e, dict) else e
+                    referenced.add(os.path.realpath(p))
+                pf = (m.get("summary") or {}).get("pending_fold") or {}
+                for p in pf.get("files", []):
+                    referenced.add(os.path.realpath(p))
+        removed: list[str] = []
+        for name in names:
+            ddir = os.path.join(self.root, name, "data")
+            if not os.path.isdir(ddir):
+                continue
+            for snap_dir in sorted(os.listdir(ddir)):
+                full = os.path.join(ddir, snap_dir)
+                if not os.path.isdir(full):
+                    continue
+                parquets = [
+                    os.path.join(full, f) for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                ]
+                if parquets and all(
+                    os.path.realpath(p) not in referenced for p in parquets
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.extend(parquets)
+        return removed
+
+    def expire_and_gc(self, keep_last: int = 10) -> dict:
+        """Store maintenance pass: expire every table's snapshot history
+        to ``keep_last``, then remove newly orphaned data files. The
+        jobs CLI exposes this as ``--expire-keep-last`` alongside the
+        TTL cleanup."""
+        expired = {
+            name: self.table(name).expire_snapshots(keep_last)
+            for name in self.table_names()
+        }
+        removed = self.gc_orphans()
+        return {
+            "expired": {k: len(v) for k, v in expired.items() if v},
+            "data_files_removed": len(removed),
+        }

@@ -254,3 +254,77 @@ def test_append_shared_files_view_and_maintenance(spark, tmp_path):
     assert sorted(
         r["url_key"] for r in links.read_at(spark, sid0).collect()
     ) == want
+
+
+def test_expire_snapshots_and_gc_orphans(tmp_path):
+    """Iceberg maintenance split: expire_snapshots bounds the manifest
+    history per table; store-level gc_orphans removes data files no
+    remaining manifest of ANY table references (shared-file appends and
+    pending_fold markers pin files across tables). Pure manifest logic —
+    no Spark session needed."""
+    import pandas as pd
+
+    store = SnapStore(str(tmp_path / "store"))
+    t = store.table("state")
+    for i in range(6):
+        t.overwrite_local(pd.DataFrame({"k": [i]}), summary={"i": i})
+    assert len(t.history()) == 6
+
+    dropped = t.expire_snapshots(keep_last=2)
+    assert len(dropped) == 4
+    # lineage cut: history walks without touching expired manifests
+    hist = t.history()
+    assert len(hist) == 2 and hist[0]["parent"] is None
+    assert [pd.read_parquet(p)["k"].iloc[0] for p in t.current_files()] == [5]
+
+    # expired snapshots' data files are orphans now
+    removed = store.gc_orphans()
+    assert len(removed) == 4
+    # retained snapshots still fully readable
+    for h in hist:
+        for p in t._manifest(h["snapshot_id"])["files"]:
+            assert pd.read_parquet(p)["k"].iloc[0] in (4, 5)
+
+    # idempotent: nothing left to expire or remove
+    assert t.expire_snapshots(keep_last=2) == []
+    assert store.gc_orphans() == []
+
+
+def test_gc_respects_shared_and_pending_references(tmp_path):
+    import pandas as pd
+
+    store = SnapStore(str(tmp_path / "store"))
+    lineage = store.table("fetch_log")
+    lineage.overwrite_local(pd.DataFrame({"k": [1], "ok": [True]}))
+    shared_files = list(lineage.current_files())
+    lineage.overwrite_local(pd.DataFrame({"k": [2], "ok": [False]}))
+    fold_files = list(lineage.current_files())
+
+    # another table registers the first commit's physical files as a view
+    view = store.table("links")
+    view.append_shared_files(shared_files, where="ok", columns=["k"])
+
+    # a summary-only pending_fold marker pins the second commit's files
+    host = store.table("host_state")
+    host.commit_same_files(
+        {"pending_fold": {"files": fold_files, "batch_ts": "2026-01-01"}}
+    )
+
+    # drop fetch_log's OWN references to both commits: new HEAD + expire
+    lineage.overwrite_local(pd.DataFrame({"k": [3], "ok": [True]}))
+    lineage.expire_snapshots(keep_last=1)
+    removed = store.gc_orphans()
+    # ...but the links view still pins shared_files and the host marker
+    # pins fold_files — nothing may be deleted
+    assert removed == []
+    assert all(pd.read_parquet(p) is not None for p in shared_files)
+
+    # drop both external references: now the files really are orphans
+    view.overwrite_local(pd.DataFrame({"k": [9]}))
+    view.expire_snapshots(keep_last=1)
+    host.commit_same_files({"op": "cleared"})
+    host.expire_snapshots(keep_last=1)
+    removed = store.gc_orphans()
+    assert sorted(removed) == sorted(
+        p for p in shared_files + fold_files
+    )
