@@ -59,6 +59,59 @@ def test_ngram_jaccard_finds_neardups(spark):
         assert abs(r["jaccard"] - expect) < 1e-9
 
 
+def test_minhash_kernel_parity():
+    """The vectorized flat-batch kernel (_minhash_batch) must be
+    byte-identical to the naive per-doc definition it replaced — null,
+    empty, shorter-than-n, exactly-n, repeated-gram, and multi-doc-batch
+    cases (boundary windows between concatenated docs must not leak)."""
+    import hashlib
+
+    from spark_frontier.analytics.dedup import _minhash_batch
+
+    n, num_perm = 5, 64
+    rng = np.random.default_rng(42)
+    P = np.uint64((1 << 61) - 1)
+    A = rng.integers(1, P, size=num_perm, dtype=np.uint64)
+    B = rng.integers(0, P, size=num_perm, dtype=np.uint64)
+
+    def naive(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([0] * num_perm)
+                continue
+            grams = (
+                {t[i:i + n] for i in range(len(t) - n + 1)}
+                if len(t) >= n else {t}
+            )
+            hs = np.array(
+                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                 for g in grams],
+                dtype=np.uint64,
+            )
+            out.append(
+                ((A[:, None] * hs[None, :] + B[:, None]) % P)
+                .min(axis=1).view(np.int64).tolist()
+            )
+        return out
+
+    texts = [
+        None, "", "ab", "abcd", "abcde", "abcdef",
+        "hello world hello world", "abcde",
+        "the quick brown fox " * 7, "żółć unicode ✓ emoji 🙂 text here",
+        "aaaaaaaaaaaaaaaa",  # one distinct gram, many occurrences
+    ]
+    assert _minhash_batch(texts, n, A, B) == naive(texts)
+    # a larger random batch (cross-doc boundary masking at volume)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rnd = np.random.default_rng(7)
+    big = [
+        " ".join(rnd.choice(words, size=rnd.integers(1, 40)))
+        for _ in range(300)
+    ]
+    assert _minhash_batch(big, n, A, B) == naive(big)
+
+
 def test_minhash_lsh_recall(spark):
     """Pairs with true jaccard ≥ 0.7 collide with prob ≈ 98.8% at
     (num_perm=64, bands=16); all 5 planted pairs must surface."""
