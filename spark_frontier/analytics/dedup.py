@@ -163,12 +163,20 @@ def _minhash_batch(
          wrong value) — replaces np.unique's memcmp sort of 20-byte rows,
          the old profile's single biggest cost;
       3. md5 once per DISTINCT gram (corpus gram vocabulary ≪ occurrences);
-      4. permute distinct-gram hashes with an exact Mersenne fold
-         (x mod 2^61-1 == (x>>61)+(x&P), refolded once), chunked so the
-         (num_perm × chunk) temporaries stay in cache;
-      5. per-permutation np.minimum.reduceat over doc offsets for the
-         per-doc mins (replaces the per-doc fancy-index + min loop).
-    Measured 2.5× over the np.unique form at equal output bytes."""
+      4. FUSED permute+min over doc-aligned occurrence chunks: gather each
+         occurrence's gram hash once, then per ~8k-occurrence chunk compute
+         the (num_perm × chunk) permutation block with an exact Mersenne
+         fold (x mod 2^61-1 == (x>>61)+(x&P), refolded once) and
+         immediately np.minimum.reduceat it over the chunk's doc offsets —
+         the block never leaves cache. The unfused form (materialize the
+         full num_perm × n_distinct matrix, then 64 gather+reduceat passes
+         over all occurrences) moves ~7 GB through DRAM per 10k-doc batch
+         and stops scaling past ~3 concurrent workers on one socket;
+         fusing trades 6× more in-cache multiplies for ~35× less memory
+         traffic. Measured per-worker walls at 8-way concurrency: 16 s
+         fused vs 27 s unfused vs 54 s for the np.unique original —
+         this kernel runs on EVERY task slot at once, so concurrent-run
+         scaling is the number that matters, not the solo wall."""
     import hashlib
 
     num_perm = len(A)
@@ -218,21 +226,27 @@ def _minhash_batch(
             ],
             dtype=np.uint64,
         )
-        m = len(h60)
-        hv = np.empty((num_perm, m), dtype=np.uint64)
-        CH = 65536
-        for s in range(0, m, CH):
-            pr = A[:, None] * h60[None, s:s + CH]
+        g = h60[codes]             # each occurrence's gram hash, doc order
+        n_long = len(cps)
+        offs = np.concatenate(([0], np.cumsum(ng[ng > 0])))
+        sig_long = np.empty((n_long, num_perm), dtype=np.uint64)
+        OCC = 8192                 # (num_perm × OCC) block ≈ 4 MB: in-cache
+        d0 = 0
+        while d0 < n_long:
+            d1 = d0 + 1
+            while d1 < n_long and offs[d1 + 1] - offs[d0] <= OCC:
+                d1 += 1            # whole docs only; ≥1 doc per chunk
+            s0, s1 = offs[d0], offs[d1]
+            pr = A[:, None] * g[None, s0:s1]
             pr += B[:, None]
             fold = pr >> S61
             pr &= P
             pr += fold
             np.subtract(pr, P, out=pr, where=pr >= P)
-            hv[:, s:s + CH] = pr
-        offs = np.concatenate(([0], np.cumsum(ng[ng > 0])))[:-1]
-        sig_long = np.empty((len(cps), num_perm), dtype=np.uint64)
-        for j in range(num_perm):
-            sig_long[:, j] = np.minimum.reduceat(hv[j, codes], offs)
+            sig_long[d0:d1] = np.minimum.reduceat(
+                pr, offs[d0:d1] - s0, axis=1
+            ).T
+            d0 = d1
     out, li = [], 0
     for k in range(nd):
         if ng[k] > 0:
