@@ -245,7 +245,8 @@ def _eventlog_metrics(log_dir: str, window, cores: int) -> dict | None:
 
 
 def run_frontier_bench(cores: int, timed_cycles: int = 2,
-                       aqe: bool = False, fuse: bool = False) -> dict:
+                       aqe: bool = False, fuse: bool = False,
+                       accounting: bool = True) -> dict:
     """Steady-state crawl-cycle throughput: one UNTIMED warmup cycle (JIT
     compilation + python worker pool — a real cluster crawls continuously,
     so warm executors are the representative state), then ``timed_cycles``
@@ -327,6 +328,8 @@ def run_frontier_bench(cores: int, timed_cycles: int = 2,
         stop_spark()
 
     # --- separate instrumented accounting cycle (audit trail only) ------
+    if not accounting:
+        return result
     eventlog_dir = tempfile.mkdtemp(prefix=f"bench_evlog_{cores}_")
     ev = None
     ev_wall = None
@@ -462,7 +465,8 @@ def run_query_bench() -> dict:
 
 def _frontier_in_subprocess(cores: int, pin: bool = True,
                             timed_cycles: int = 1, aqe: bool = False,
-                            fuse: bool = False) -> dict:
+                            fuse: bool = False,
+                            accounting: bool = True) -> dict:
     """Each parallelism level gets a FRESH python+JVM: consecutive
     SparkContexts in one JVM contaminate each other (leftover python
     daemons, heap garbage, stale pools) and corrupt the comparison.
@@ -480,7 +484,7 @@ def _frontier_in_subprocess(cores: int, pin: bool = True,
            "import json, bench; "
            "print('BENCHJSON ' + json.dumps(bench.run_frontier_bench("
            f"{cores}, timed_cycles={timed_cycles}, aqe={aqe}, "
-           f"fuse={fuse})))"]
+           f"fuse={fuse}, accounting={accounting})))"]
     if pin:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
@@ -608,8 +612,54 @@ def main() -> None:
     n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n4_cores = n_cores * 4
     control = _host_control(n_cores, n4_cores)
-    fr_n = _frontier_in_subprocess(n_cores, timed_cycles=2)
-    fr_4n = _frontier_in_subprocess(n4_cores, timed_cycles=3)
+
+    # INTERLEAVED LEGS (round 5): the legs used to run as two back-to-back
+    # blocks (all N cycles, then all 4N cycles). This VM's background noise
+    # comes in multi-minute episodes, so a whole block could land inside
+    # one episode while the other block missed it — round-5 run 2 measured
+    # 0.678 purely because the N block caught a fast window and the 4N
+    # block a slow one (host control inverted, alu 1.55). The fix is the
+    # standard A/B design: alternate the legs on a FIXED schedule
+    # (4N, N, 4N, N, 4N — value-blind, decided before any wall is seen;
+    # same per-leg cycle counts as before: N min-of-2, 4N min-of-3) so
+    # both legs sample the same host windows. Each subprocess still gets a
+    # fresh python+JVM and its own untimed warmup; the instrumented
+    # accounting cycle runs once per leg size, on its last subprocess.
+    # The headline estimator is unchanged (min wall per leg); the walls
+    # now interleave in time instead of clustering. A per-adjacent-pair
+    # efficiency median is reported alongside for audit: each (N, 4N)
+    # pair is measured minutes apart, so it is robust to window drift the
+    # min-based number can still see.
+    sched = [(n4_cores, "4n", False), (n_cores, "n", False),
+             (n4_cores, "4n", False), (n_cores, "n", True),
+             (n4_cores, "4n", True)]
+    leg_runs: dict[str, list[dict]] = {"n": [], "4n": []}
+    sched_walls: list[tuple[str, float]] = []
+    for cores, tag, acct in sched:
+        r = _frontier_in_subprocess(cores, timed_cycles=1, accounting=acct)
+        leg_runs[tag].append(r)
+        sched_walls.append((tag, r["wall_s"]))
+
+    def _merge_leg(runs: list[dict]) -> dict:
+        walls = [w for r in runs for w in r["walls_all_s"]]
+        best = min(walls)
+        merged = dict(runs[-1])  # last run carries the eventlog audit
+        merged["wall_s"] = round(best, 3)
+        merged["walls_all_s"] = [round(w, 3) for w in walls]
+        merged["urls_per_sec"] = round(merged["frontier_urls"] / best, 2)
+        return merged
+
+    fr_n = _merge_leg(leg_runs["n"])
+    fr_4n = _merge_leg(leg_runs["4n"])
+    # frontier_urls is identical on both legs (same world, same cycle), so
+    # pairwise eff reduces to wall_n / (4 * wall_4n) for adjacent pairs
+    paired = [
+        round(b[1] / (4.0 * a[1]), 3) if a[0] == "4n"
+        else round(a[1] / (4.0 * b[1]), 3)
+        for a, b in zip(sched_walls, sched_walls[1:])
+    ]
+    eff_paired_median = sorted(paired)[len(paired) // 2]
+
     co_n = _corpus_in_subprocess(n_cores, timed_runs=2)
     co_4n = _corpus_in_subprocess(n4_cores, timed_runs=3)
     full = (
@@ -631,6 +681,9 @@ def main() -> None:
             "n_cores": fr_n,
             "4n_cores": fr_4n,
             "scaling_efficiency_n_to_4n": eff,
+            "scaling_efficiency_paired": paired,
+            "scaling_efficiency_paired_median": eff_paired_median,
+            "leg_schedule": [t for t, _ in sched_walls],
             "full_machine": full,
             "host_control": control,
         },
@@ -663,6 +716,7 @@ def main() -> None:
             "wall_s_n": fr_n["wall_s"],
             "wall_s_4n": fr_4n["wall_s"],
             "scaling_efficiency_n_to_4n": eff,
+            "scaling_efficiency_paired_median": eff_paired_median,
             "host_ceiling_efficiency":
                 control["host_ceiling_efficiency"],
         },
