@@ -660,8 +660,25 @@ def main() -> None:
     ]
     eff_paired_median = sorted(paired)[len(paired) // 2]
 
-    co_n = _corpus_in_subprocess(n_cores, timed_runs=2)
-    co_4n = _corpus_in_subprocess(n4_cores, timed_runs=3)
+    # corpus legs: same interleave rationale as the frontier legs (the
+    # corpus funnel's N leg is ~3-6 min — one noise episode wide)
+    co_runs: dict[str, list[dict]] = {"n": [], "4n": []}
+    for cores, tag in [(n4_cores, "4n"), (n_cores, "n"),
+                       (n4_cores, "4n"), (n_cores, "n"), (n4_cores, "4n")]:
+        co_runs[tag].append(_corpus_in_subprocess(cores, timed_runs=1))
+
+    def _merge_corpus(runs: list[dict]) -> dict:
+        walls = [w for r in runs for w in r["walls_all_s"]]
+        best = min(walls)
+        best_run = min(runs, key=lambda r: min(r["walls_all_s"]))
+        merged = dict(best_run)  # keep the best run's stage trace
+        merged["wall_s"] = round(best, 3)
+        merged["walls_all_s"] = [round(w, 3) for w in walls]
+        merged["docs_per_sec"] = round(merged["n_docs"] / best, 2)
+        return merged
+
+    co_n = _merge_corpus(co_runs["n"])
+    co_4n = _merge_corpus(co_runs["4n"])
     full = (
         _frontier_in_subprocess(CPUS, pin=False, timed_cycles=2)
         if CPUS > n4_cores else None
