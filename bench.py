@@ -390,7 +390,11 @@ def run_corpus_bench(cores: int, timed_runs: int = 2) -> dict:
     docs_path = gen_corpus(CORPUS_WORLD, n_docs=CORPUS_DOCS)
     stop_spark()
     spark = get_spark("corpus-bench", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=max(cores, 8),
+                      # one ~40 MB corpus file: split to ~1 MB so the
+                      # Arrow-UDF scan stages get cores×k tasks for load
+                      # balance (same rationale as the frontier legs)
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "1m"})
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
