@@ -534,8 +534,16 @@ def _host_control(n: int, n4: int) -> dict:
       adds whole machines, so per-core capacity is constant by
       construction and this ceiling is ~1.0.
 
+    - ``dram``: a pure streaming triad over 3×-L3-sized arrays — the
+      memory-bandwidth ceiling bounding the fused minhash / einsum
+      kernels. Measured window-dependent on this VM: 1.96× aggregate
+      2→8 workers in a co-tenant-loaded window (a perfectly
+      bandwidth-bound stage caps at 0.49 there) vs 3.84× in a quiet
+      one. On a real cluster each executor brings its own memory bus,
+      so this ceiling is ~1.0 by construction.
+
     ``host_ceiling_efficiency`` reports the engine_like kernel (the
-    representative bound); the ALU number is kept for comparison."""
+    representative bound); the ALU and DRAM numbers bracket it."""
     import multiprocessing as mp
 
     out = {}
@@ -545,7 +553,9 @@ def _host_control(n: int, n4: int) -> dict:
                      initargs=(0, cpus)) as p:
             alu = p.map(_BURN, range(procs))
             eng = p.map(_ENGINE_BURN, range(procs))
-        out[procs] = (sum(alu) / len(alu), sum(eng) / len(eng))
+            dram = p.map(_DRAM_BURN, range(procs))
+        out[procs] = (sum(alu) / len(alu), sum(eng) / len(eng),
+                      sum(dram) / len(dram))
     return {
         "per_task_s_n": round(out[n][0], 3),
         "per_task_s_4n": round(out[n4][0], 3),
@@ -553,6 +563,9 @@ def _host_control(n: int, n4: int) -> dict:
         "engine_like_s_n": round(out[n][1], 3),
         "engine_like_s_4n": round(out[n4][1], 3),
         "host_ceiling_efficiency": round(out[n][1] / out[n4][1], 3),
+        "dram_s_n": round(out[n][2], 3),
+        "dram_s_4n": round(out[n4][2], 3),
+        "dram_ceiling_efficiency": round(out[n][2] / out[n4][2], 3),
     }
 
 
@@ -585,6 +598,27 @@ def _ENGINE_BURN(_):
             ).astype(np.int16)
             d = dec - ref
             np.einsum("ij,ij->i", d, d, dtype=np.int64)
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def _DRAM_BURN(_):
+    """Streaming triad over 3×-L3-sized arrays: the pure
+    memory-bandwidth ceiling. Per-task seconds for a fixed number of
+    streamed bytes (min-of-reps), so s_n / s_4n is the efficiency a
+    perfectly bandwidth-bound stage could score in this window."""
+    import numpy as np
+
+    n = 32 * 1024 * 1024 // 8  # 3 × 32 MB arrays — busts the shared L3
+    a = np.ones(n)
+    b = np.ones(n)
+    c = np.empty(n)
+    np.add(a, b, out=c)  # touch pages before timing
+    times = []
+    for _rep in range(4):
+        t0 = time.time()
+        for _it in range(6):
+            np.add(a, b, out=c)
         times.append(time.time() - t0)
     return min(times)
 
