@@ -200,7 +200,7 @@ def serve_http(controller: CrawlController, port: int = 0):
     """Stdlib HTTP wrapper; returns the (started) server — call
     ``server.server_address`` for the bound port, ``server.shutdown()`` to
     stop. Endpoints: GET /status, GET /history, POST /crawl/start
-    (json body: {days, site_ids}), POST /auto/start {interval_s},
+    (json body: {days, site_ids, batch_ts?}), POST /auto/start {interval_s},
     POST /auto/stop."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -238,9 +238,11 @@ def serve_http(controller: CrawlController, port: int = 0):
             n = int(self.headers.get("Content-Length") or 0)
             body = json.loads(self.rfile.read(n) or b"{}") if n else {}
             if self.path == "/crawl/start":
+                ts = body.get("batch_ts")
                 out = controller.start(
                     days=int(body.get("days", 7)),
                     site_ids=body.get("site_ids"),
+                    batch_ts=datetime.fromisoformat(ts) if ts else None,
                 )
                 self._send(202 if out["accepted"] else 409, out)
             elif self.path == "/auto/start":

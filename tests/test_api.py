@@ -52,7 +52,8 @@ def test_controller_site_filter_and_http(spark, world_dir, tmp_path_factory):
         base = f"http://127.0.0.1:{port}"
         req = urllib.request.Request(
             base + "/crawl/start",
-            data=json.dumps({"days": 7, "site_ids": ["site-0"]}).encode(),
+            data=json.dumps({"days": 7, "site_ids": ["site-0"],
+                             "batch_ts": NOW.isoformat()}).encode(),
             method="POST",
         )
         with urllib.request.urlopen(req) as r:
