@@ -530,58 +530,149 @@ def hamming_neardup_pairs(
 # embedding near-dup
 
 
+def _block_cosine_pairs_batch(
+    ids: np.ndarray, M: np.ndarray, threshold: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (i<j) pairs of one block with cosine ≥ threshold.
+
+    Bit-identical to the JVM expression it replaced
+    (``aggregate(zip_with(a,b,x*y), 0.0, acc+cast(v as double))`` over
+    ``array<float>`` columns — parity-tested in
+    tests/test_analytics.py::test_blocked_cosine_kernel_parity):
+    products and squares are computed in float32 (the storage type),
+    cast to double, and accumulated LEFT-TO-RIGHT per dimension — a
+    dim-loop of vectorized adds reproduces the fold exactly, while a
+    numpy pairwise-summed ``sum(axis=1)``/``dot`` would not.
+
+    The exact fold only runs on CANDIDATES from a BLAS prefilter:
+    cosine from normalized float64 matmul differs from the exact fold by
+    at most ~2^-24 (the float32 product rounding; |Σ x_i y_i δ_i| ≤
+    ‖a‖‖b‖·2^-24 by Cauchy-Schwarz, f64 summation error orders below),
+    so a 1e-4 candidate margin can never lose a true pair. Matmul is
+    O(n²d) at memory bandwidth instead of one interpreted-fold per pair
+    — the piece that made the blocked join O(pairs × dim) in the JVM."""
+    n, d = M.shape
+    sq64 = (M * M).astype(np.float64)           # f32 squares, then cast
+    nrm = np.zeros(n, dtype=np.float64)
+    for j in range(d):                          # left fold, like the JVM
+        nrm += sq64[:, j]
+    nrm = np.sqrt(nrm)
+    safe = np.where(nrm > 0, nrm, 1.0)
+    Mn = M.astype(np.float64) / safe[:, None]
+    out_a, out_b, out_c = [], [], []
+    margin = 1e-4
+    chunk = max(1, min(n, (8 << 20) // max(n, 1)))  # ≤ ~64 MB of C rows
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        C = Mn[i0:i1] @ Mn.T                    # (chunk, n) float64
+        ia, ib = np.nonzero(C >= threshold - margin)
+        ia = ia + i0
+        keep = ia < ib                          # upper triangle only
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            continue
+        dot = np.zeros(len(ia), dtype=np.float64)
+        for j in range(d):                      # exact JVM fold replay
+            dot += (M[ia, j] * M[ib, j]).astype(np.float64)
+        cos = dot / (nrm[ia] * nrm[ib])
+        final = cos >= threshold
+        out_a.append(ids[ia[final]])
+        out_b.append(ids[ib[final]])
+        out_c.append(cos[final])
+    if not out_a:
+        z = np.array([], dtype=ids.dtype)
+        return z, z, np.array([], dtype=np.float64)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_c)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.95,
     block_col: str | None = "label", lsh_planes: int = 16,
     lsh_bands: int = 4,
 ) -> DataFrame:
-    """Cosine ≥ τ pairs. Blocked self-join (same ``block_col``) when a
-    blocking key exists; WITHOUT one, hyperplane-LSH banding replaces the
-    would-be cross join (the 100 TB path): signatures are split into
-    ``lsh_bands`` bands and pairs sharing ANY band become candidates
-    (OR-amplification — near-parallel vectors agree on most sign bits, so
-    recall at high τ is high), then exact cosine verifies. Dot products
-    via zip_with/aggregate — JVM-side, no Python."""
-    e = embeddings.select(
-        F.col("vec_id"),
-        F.col("embedding"),
-        *( [F.col(block_col)] if block_col else [] ),
-    )
-    a, b = e.alias("a"), e.alias("b")
+    """Cosine ≥ τ pairs. Blocked path (same ``block_col``): one Arrow
+    ``applyInPandas`` per block runs a BLAS prefilter + exact-fold verify
+    (``_block_cosine_pairs_batch``) — only surviving pairs ever leave the
+    task, so the shuffle is ∝ true near-dups, and per-pair cost is a
+    memory-bandwidth matmul instead of an interpreted JVM fold over
+    every candidate (the round-5 profile's q14/q49 dominator). WITHOUT a
+    blocking key, hyperplane-LSH banding replaces the would-be cross
+    join (the 100 TB path): signatures are split into ``lsh_bands``
+    bands and pairs sharing ANY band become candidates
+    (OR-amplification — near-parallel vectors agree on most sign bits,
+    so recall at high τ is high), then exact cosine verifies. Values are
+    bit-identical between the two paths (kernel parity test)."""
     if block_col:
-        pairs = a.join(b, on=[block_col]).filter(
-            F.col("a.vec_id") < F.col("b.vec_id")
+        from pyspark.sql.types import (
+            DoubleType,
+            FloatType,
+            StructField,
+            StructType,
         )
-    else:
-        from spark_frontier.analytics.similarity import hyperplane_signatures
 
-        row = embeddings.select("embedding").first()
-        if row is None:  # empty corpus → empty pairs, not a TypeError
-            return embeddings.sparkSession.createDataFrame(
-                [], "vec_a long, vec_b long, cosine double"
+        id_field = embeddings.schema["vec_id"]
+        out_schema = StructType([
+            StructField("vec_a", id_field.dataType),
+            StructField("vec_b", id_field.dataType),
+            StructField("cosine", DoubleType()),
+        ])
+        tau = float(threshold)
+        # products/squares happen in the column's STORAGE type before the
+        # double accumulation, exactly like the JVM fold they replace
+        elem = embeddings.schema["embedding"].dataType.elementType
+        np_dt = np.float32 if isinstance(elem, FloatType) else np.float64
+
+        def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.dropna(subset=["embedding"])
+            if len(pdf) < 2:
+                return pd.DataFrame({
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                })
+            pdf = pdf.sort_values("vec_id")     # pair order: a.id < b.id
+            ids = pdf["vec_id"].to_numpy()
+            M = np.stack(
+                [np.asarray(v, dtype=np_dt) for v in pdf["embedding"]]
             )
-        dim = len(row["embedding"])
-        sigs = materialize(hyperplane_signatures(
-            e, n_planes=lsh_planes, dim=dim, vec_col="embedding",
-            id_col="vec_id",
-        ))
-        bits_per_band = lsh_planes // lsh_bands
-        mask = (1 << bits_per_band) - 1
-        banded = sigs.select(
-            "vec_id", "embedding",
-            F.posexplode(
-                F.array(*[
-                    F.shiftright(F.col("bucket"), i * bits_per_band)
-                    .bitwiseAND(F.lit(mask))
-                    for i in range(lsh_bands)
-                ])
-            ).alias("band", "band_sig"),
+            a, b, c = _block_cosine_pairs_batch(ids, M, tau)
+            return pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": c})
+
+        return (
+            embeddings.select("vec_id", "embedding", block_col)
+            .groupBy(block_col)
+            .applyInPandas(_pairs, out_schema)
         )
-        pairs = (
-            banded.alias("a")
-            .join(banded.alias("b"), on=["band", "band_sig"])
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    e = embeddings.select(F.col("vec_id"), F.col("embedding"))
+    from spark_frontier.analytics.similarity import hyperplane_signatures
+
+    row = embeddings.select("embedding").first()
+    if row is None:  # empty corpus → empty pairs, not a TypeError
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
         )
+    dim = len(row["embedding"])
+    sigs = materialize(hyperplane_signatures(
+        e, n_planes=lsh_planes, dim=dim, vec_col="embedding",
+        id_col="vec_id",
+    ))
+    bits_per_band = lsh_planes // lsh_bands
+    mask = (1 << bits_per_band) - 1
+    banded = sigs.select(
+        "vec_id", "embedding",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("bucket"), i * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                for i in range(lsh_bands)
+            ])
+        ).alias("band", "band_sig"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "band_sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    )
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
                    lambda x, y: x * y),
@@ -601,10 +692,8 @@ def embedding_neardup_pairs(
             "cosine",
         )
     )
-    if not block_col:
-        # a pair sharing several bands verified several times → dedupe
-        out = out.dropDuplicates(["vec_a", "vec_b"])
-    return out
+    # a pair sharing several bands verified several times → dedupe
+    return out.dropDuplicates(["vec_a", "vec_b"])
 
 
 # ---------------------------------------------------------------------------

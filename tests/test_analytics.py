@@ -213,6 +213,64 @@ def test_ann_persisted_index_matches_scan_variant(spark, tmp_path_factory):
     assert a == b and len(a) == 10
 
 
+def test_blocked_cosine_kernel_parity(spark):
+    """The blocked-path Arrow kernel (BLAS prefilter + exact-fold verify)
+    must be BIT-identical to the JVM zip_with/aggregate expression it
+    replaced, for both float and double storage types — same pairs, same
+    unrounded cosine doubles."""
+    from pyspark.sql import functions as F
+
+    from spark_frontier.analytics.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    dim = 16
+    rows = []
+    vid = 0
+    for blk in range(4):
+        base = rng.standard_normal(dim)
+        for _ in range(25):
+            v = base + rng.standard_normal(dim) * rng.uniform(0.05, 2.0)
+            rows.append((vid, [float(x) for x in v], blk))
+            vid += 1
+
+    def _jvm_pairs(df, tau):
+        e = df.select("vec_id", "embedding", "label")
+        a, b = e.alias("a"), e.alias("b")
+        pairs = a.join(b, on=["label"]).filter(
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                       lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        norm = lambda side: F.sqrt(  # noqa: E731
+            F.aggregate(F.col(f"{side}.embedding"),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, v: acc + v * v)
+        )
+        return (
+            pairs.withColumn("cosine", dot / (norm("a") * norm("b")))
+            .filter(F.col("cosine") >= tau)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"), "cosine")
+        )
+
+    for elem in ("float", "double"):
+        df = spark.createDataFrame(
+            rows, f"vec_id long, embedding array<{elem}>, label int"
+        )
+        for tau in (0.3, 0.9):
+            want = {(r["vec_a"], r["vec_b"]): r["cosine"]
+                    for r in _jvm_pairs(df, tau).collect()}
+            got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+                   for r in embedding_neardup_pairs(
+                       df, threshold=tau, block_col="label"
+                   ).collect()}
+            assert got == want, (elem, tau)  # exact doubles, not approx
+
+
 def test_embedding_neardup_unblocked_lsh(spark):
     """block_col=None path: LSH banding instead of a cross join; finds the
     planted near-dup pairs at high threshold."""
