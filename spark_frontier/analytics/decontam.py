@@ -102,7 +102,22 @@ def bigram_lm_scores(
     the classic cheap perplexity proxy for quality filtering. Documents
     with < 2 tokens have no bigrams and are omitted (no score to define).
     """
-    toks = docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    from spark_frontier.storage.materialize import materialize
+
+    # the token projection feeds FOUR jobs (vocab count, the c1 and c2
+    # broadcast builds, and the scoring pass) — without an eager cut each
+    # re-runs scan+normalize+tokenize over the whole corpus (measured 4×
+    # the query's real work at sf1.0); checkpoint the compact
+    # (id, tokens) projection once and let every job read that.
+    # repartition first: a small-file parquet scan is a handful of tasks
+    # (3 at sf1.0's ~6 MB zstd file), and the checkpoint pins that
+    # parallelism for every downstream stage — the q13/q21/q32 barrier
+    # rule (measured 8× on the scoring pass at 32 cores)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = materialize(
+        docs.select(id_col, F.col(text_col)).repartition(par)
+        .select(id_col, tokens(F.col(text_col)).alias("toks"))
+    )
     bigrams = toks.select(
         id_col, F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram")
     )

@@ -304,30 +304,104 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     text_col: str = "text",
+    verify: str = "bucket",
 ) -> DataFrame:
     """Banded LSH: split signatures into ``bands`` rows-per-band groups,
-    bucket-join on (band, band-hash), verify candidates with the signature
-    Jaccard estimate. Collision prob for a pair with true Jaccard s is
-    1-(1-s^r)^b — tune bands/num_perm for the target threshold."""
+    bucket the corpus on (band, band-hash), and verify every same-bucket
+    candidate pair with the signature Jaccard estimate. Collision prob
+    for a pair with true Jaccard s is 1-(1-s^r)^b — tune bands/num_perm
+    for the target threshold.
+
+    TWO verify topologies, value-identical (same pairs, same estimate
+    doubles — est is an integer agreement count / num_perm either way),
+    chosen by the candidate-to-survivor shape of the corpus:
+
+    - ``verify='bucket'`` (default): one Arrow pass per (band, bucket)
+      partition computes all pairwise agreement counts vectorized and
+      only SURVIVING pairs leave the task. Wins when collisions vastly
+      outnumber survivors — the round-5 join shape paid one interpreted
+      JVM fold per candidate (24 M candidates → 2.6 k survivors at
+      sf1.0: ~13 s of fold for nothing; this path is 3.4× faster
+      there). Cost: the bucket shuffle carries each signature once per
+      band; a degenerate bucket still costs one task m² compares — the
+      same worst case the self-join had, at vector speed and bounded
+      memory (row-chunked).
+    - ``verify='join'``: id-only banded rows self-join on (band,
+      bucket), candidate id-pairs dedup, signatures join back, JVM fold
+      per pair. Wins when most candidates SURVIVE (dense near-dup
+      corpora: the corpus funnel measures 4.5 M survivors at 100 k docs
+      — the python emit + extra shuffle of the bucket path costs more
+      than the folds save; interleaved A/B at 2 cores: 47-55 s join vs
+      64-70 s bucket). ``pipeline/corpus.py`` passes this explicitly.
+    """
+    if verify not in ("bucket", "join"):
+        raise ValueError(f"unknown verify: {verify!r}")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     rows_per_band = num_perm // bands
-    # signatures feed both sides of the bucket self-join — materialize once
-    sigs = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col
-                              ).transform(materialize)
-    # the banded rows carry ONLY (doc_id, band, bucket): shuffling the
-    # full num_perm-long signature through the exploded self-join moves
-    # bands × sig_size bytes per doc (measured 2.7 GB at just 84k docs —
-    # the whole join phase stopped scaling); candidates join the
-    # signatures back AFTER dedup, so shuffle volume is ∝ candidates,
-    # not ∝ corpus × bands
+    sigs = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col)
+    if verify == "join":
+        # signatures feed the banded explode AND both sides of the
+        # verify join-back — materialize once
+        sigs = sigs.transform(materialize)
+        banded_ids = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(
+                            F.col("signature"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        )
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+        cand_ids = (
+            banded_ids.alias("a")
+            .join(banded_ids.alias("b"), on=["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        cand = (
+            cand_ids
+            .join(
+                sigs.select(F.col("doc_id").alias("doc_a"),
+                            F.col("signature").alias("sig_a")),
+                "doc_a",
+            )
+            .join(
+                sigs.select(F.col("doc_id").alias("doc_b"),
+                            F.col("signature").alias("sig_b")),
+                "doc_b",
+            )
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                           lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ) / F.lit(float(num_perm))
+        return (
+            cand.withColumn("jaccard_est", est)
+            .filter(F.col("jaccard_est") >= threshold)
+            .select("doc_a", "doc_b", "jaccard_est")
+        )
     banded = sigs.select(
         "doc_id",
+        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                # hash the slice ARRAY natively: the old .cast("string")
-                # formatted 4 longs into text per band per row (2×, both
-                # join sides) — pure allocation; equal slices ⟺ equal
-                # hash either way, which is all the bucket key needs
+                # hash the slice ARRAY natively: equal slices ⟺ equal
+                # hash, which is all the bucket key needs
                 lambda b: F.xxhash64(
                     F.slice(
                         F.col("signature"),
@@ -338,40 +412,118 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    cand_ids = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    id_type = docs.schema["doc_id"].dataType
+    out_schema = StructType([
+        StructField("doc_a", id_type),
+        StructField("doc_b", id_type),
+        StructField("jaccard_est", DoubleType()),
+    ])
+    thr = float(threshold)
+    perm_d = float(num_perm)
+    _BIG = 4096           # groups above this verify via chunked matrices
+
+    def _verify_part(batches):
+        # ONE Arrow table per shuffle partition (hash partitioning on
+        # (band, bucket) keeps every group whole); signatures come out of
+        # the ListArray's flat values buffer with ONE zero-copy reshape —
+        # an applyInPandas per group paid ~0.1 ms of frame overhead ×
+        # 10^5 mostly-tiny buckets, and a pandas variant built a python
+        # object per signature cell (~10 s at 2 cores on the corpus
+        # funnel's 1.6 M banded rows)
+        import pyarrow as pa
+
+        tbls = list(batches)
+        if not tbls:
+            return
+        tbl = pa.Table.from_batches(tbls).combine_chunks()
+        n = len(tbl)
+        if n == 0:
+            return
+        bandv = tbl["band"].to_numpy()
+        buckv = tbl["bucket"].to_numpy()
+        idsv = tbl["doc_id"].to_numpy()
+        sig = tbl["signature"].chunk(0)
+        flat = np.asarray(sig.values)
+        perms = len(flat) // n
+        order = np.lexsort((idsv, buckv, bandv))
+        bandv, buckv, idsv = bandv[order], buckv[order], idsv[order]
+        # fixed-length lists, no nulls → values is exactly (n, perms);
+        # slice off any leading offset from upstream array slicing
+        off = sig.offsets[0].as_py()
+        M = flat[off:off + n * perms].reshape(n, perms)[order]
+        nb = (np.flatnonzero(
+            (bandv[1:] != bandv[:-1]) | (buckv[1:] != buckv[:-1])
+        ) + 1)
+        starts = np.concatenate(([0], nb, [n]))
+        out_a, out_b, out_e = [], [], []
+        # small groups batch by SIZE into (g, m, perms) tensors: one perm
+        # loop of contiguous (g, m, m) compares per size class — no
+        # per-group numpy-call overhead and no fancy-indexed gathers
+        # (a flat triu-gather variant moved 2×8 B per pair per perm
+        # through random access and ran 3× slower)
+        from collections import defaultdict
+
+        by_size: dict[int, list[int]] = defaultdict(list)
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            if m <= _BIG:
+                by_size[m].append(s)
+                continue
+            # degenerate hot bucket: chunked (rows × m) matrices bound
+            # memory; same O(m²·perms) the self-join had, vectorized
+            Mg, idg = M[s:e], idsv[s:e]
+            chunk = max(1, (8 << 20) // m)
+            for i0 in range(0, m, chunk):
+                i1 = min(i0 + chunk, m)
+                eq = np.zeros((i1 - i0, m), dtype=np.int32)
+                for p in range(Mg.shape[1]):
+                    eq += Mg[i0:i1, p][:, None] == Mg[None, :, p]
+                est = eq / perm_d          # exact: small-int / 2^k
+                ia, ib = np.nonzero(est >= thr)
+                ia = ia + i0
+                keep = ia < ib
+                ia, ib = ia[keep], ib[keep]
+                if len(ia):
+                    out_a.append(idg[ia])
+                    out_b.append(idg[ib])
+                    out_e.append(est[ia - i0, ib])
+        for m, slist in by_size.items():
+            iu0, iu1 = np.triu_indices(m, 1)
+            gmax = max(1, (2 << 20) // (m * m))   # (g,m,m) temps ≤ ~8 MB
+            for c0 in range(0, len(slist), gmax):
+                S = np.asarray(slist[c0:c0 + gmax])
+                idx = S[:, None] + np.arange(m)[None, :]      # (g, m)
+                G = M[idx]                                    # (g, m, P)
+                g = len(S)
+                eq = np.zeros((g, m, m), dtype=np.int32)
+                for p in range(G.shape[2]):
+                    col = G[:, :, p]
+                    eq += col[:, :, None] == col[:, None, :]
+                est = eq / perm_d
+                sel = est[:, iu0, iu1]                        # (g, pairs)
+                gi, pi = np.nonzero(sel >= thr)
+                if len(gi):
+                    out_a.append(idsv[idx[gi, iu0[pi]]])
+                    out_b.append(idsv[idx[gi, iu1[pi]]])
+                    out_e.append(sel[gi, pi])
+        if out_a:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a), type=pa.int64()),
+                    pa.array(np.concatenate(out_b), type=pa.int64()),
+                    pa.array(np.concatenate(out_e), type=pa.float64()),
+                ],
+                names=["doc_a", "doc_b", "jaccard_est"],
+            )
+
+    survivors = banded.repartition("band", "bucket").mapInArrow(
+        _verify_part, out_schema
     )
-    cand = (
-        cand_ids
-        .join(
-            sigs.select(F.col("doc_id").alias("doc_a"),
-                        F.col("signature").alias("sig_a")),
-            "doc_a",
-        )
-        .join(
-            sigs.select(F.col("doc_id").alias("doc_b"),
-                        F.col("signature").alias("sig_b")),
-            "doc_b",
-        )
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(float(num_perm))
-    return (
-        cand.withColumn("jaccard_est", est)
-        .filter(F.col("jaccard_est") >= threshold)
-        .select("doc_a", "doc_b", "jaccard_est")
-    )
+    # a pair sharing several buckets surfaces once per band with the SAME
+    # estimate (it depends only on the signatures) → keep one
+    return survivors.dropDuplicates(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------

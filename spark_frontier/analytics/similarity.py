@@ -55,17 +55,42 @@ def hyperplane_signatures(
     vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: bit i = sign(v·h_i).
-    Planes are a broadcast literal matrix; the signature is computed with
-    JVM expressions (one dot per plane)."""
+
+    One Arrow kernel replays the old per-plane JVM zip_with/aggregate
+    folds bit-identically — vectors cast to float64 (= the JVM array
+    cast), each plane's dot accumulated LEFT-TO-RIGHT per dimension — so
+    buckets cannot drift, at vector speed instead of n_planes
+    interpreted folds per row (the q14 lesson; measured ~1 s of q23's
+    1.15 s at sf1.0)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    sig = F.lit(0).cast("long")
-    v = F.col(vec_col).cast("array<double>")
-    for i in range(n_planes):
-        h = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = (_dot(v, h) > 0).cast("long")
-        sig = sig + F.shiftleft(bit, i)
-    return embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+
+    @pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        nulls = vecs.isna()
+        safe = vecs[~nulls]
+        out = pd.Series(np.zeros(len(vecs), dtype=np.int64), index=vecs.index)
+        if len(safe):
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in safe])
+            sig = np.zeros(len(M), dtype=np.int64)
+            for i in range(n_planes):
+                acc = np.zeros(len(M), dtype=np.float64)
+                h = planes[i]
+                for j in range(M.shape[1]):   # left fold, like the JVM
+                    acc += M[:, j] * h[j]
+                sig |= (acc > 0).astype(np.int64) << i
+            out[~nulls] = sig
+        if nulls.any():                        # JVM: null vec → null bucket
+            out = out.astype(object)
+            out[nulls] = None
+        return out
+
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), _sig(F.col(vec_col)).alias("bucket")
+    )
 
 
 def _query_probe_buckets(
@@ -163,12 +188,9 @@ def kmeans_fit(
     # by the projection (id + vector), never the source table
     embeddings = embeddings.select(id_col, vec_col).persist()
 
-    first = embeddings.select(vec_col).first()
-    if first is None:
-        embeddings.unpersist()
-        raise ValueError("empty corpus")
-    dim = len(first[vec_col])
-    # deterministic, SQL-replayable init: md5-hex order, id tie-break
+    # deterministic, SQL-replayable init: md5-hex order, id tie-break.
+    # dim comes from the init rows — a separate .first() was one more
+    # driver-blocking job per fit (×2 with the PQ fit, ×every ANN query)
     init_rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(
@@ -178,6 +200,10 @@ def kmeans_fit(
         .limit(n_centroids)
         .collect()
     )
+    if not init_rows:
+        embeddings.unpersist()
+        raise ValueError("empty corpus")
+    dim = len(init_rows[0][vec_col])
     centroids = np.array([list(r[vec_col]) for r in init_rows], dtype=np.float64)
 
     for _ in range(n_iter):
@@ -322,13 +348,6 @@ def pq_fit(
     Returns an (m, n_codes, dim//m) ndarray."""
     from pyspark.sql import functions as F2
 
-    first = embeddings.select(vec_col).first()
-    if first is None:
-        raise ValueError("empty corpus")
-    dim = len(first[vec_col])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
     init_rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(
@@ -338,6 +357,12 @@ def pq_fit(
         .limit(n_codes)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("empty corpus")
+    dim = len(init_rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     base = np.array([list(r[vec_col]) for r in init_rows], dtype=np.float64)
     books = np.stack([base[:, s * sub:(s + 1) * sub] for s in range(m)])
 

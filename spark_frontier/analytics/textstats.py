@@ -12,6 +12,8 @@ has an exact DuckDB-SQL oracle twin in __spark_entry__.py:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from spark_frontier.analytics.dedup import normalize_text
@@ -129,6 +131,92 @@ def fingerprint(col) -> F.Column:
     return F.md5(normalize_text(col))
 
 
+def _winnow_batch(texts, k: int, w: int) -> list:
+    """Vectorized winnowing kernel over one Arrow batch of ALREADY-
+    NORMALIZED texts: per doc, the DISTINCT set of sliding-window minima
+    of md5-60-bit k-gram hashes.
+
+    Semantics (identical to the window/explode pipeline it replaced,
+    pinned by tests/test_analytics.py's independent hashlib replay):
+    null → {null}; len(text) < k → one gram = the whole text; fewer than
+    w full windows → the minimum over all grams. The flat-batch shape is
+    ``dedup._minhash_batch``'s: concat all long-doc codepoints, ONE
+    sliding_window_view, factorize grams by poly-hash + byte-verify, md5
+    once per DISTINCT gram (corpus gram vocabulary ≪ occurrences — the
+    JVM pipeline paid md5+conv per OCCURRENCE), then per-doc
+    sliding-window minima with one more sliding_window_view."""
+    import hashlib
+
+    nd = len(texts)
+    cps = []
+    ng = np.zeros(nd, dtype=np.int64)
+    short: dict[int, str] = {}
+    is_null = np.zeros(nd, dtype=bool)
+    for i, t in enumerate(texts):
+        if t is None:
+            is_null[i] = True
+            continue
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        if len(cp) >= k:
+            cps.append(cp)
+            ng[i] = len(cp) - k + 1
+        else:
+            short[i] = t
+    g = None
+    if cps:
+        flat = np.concatenate(cps)
+        bounds = np.cumsum([len(c) for c in cps])
+        wv = np.lib.stride_tricks.sliding_window_view(flat, k)
+        valid = np.ones(len(flat) - k + 1, dtype=bool)
+        for b in bounds[:-1]:
+            valid[b - k + 1:b] = False      # windows spanning two docs
+        wgrams = np.ascontiguousarray(wv[valid])
+        K = np.uint64(0x9E3779B97F4A7C15)
+        h = np.zeros(len(wgrams), dtype=np.uint64)
+        for j in range(k):
+            h = h * K + wgrams[:, j].astype(np.uint64)
+        order = np.argsort(h, kind="stable")
+        hs, ws = h[order], wgrams[order]
+        newgrp = np.empty(len(ws), dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1]).any(axis=1)
+        gid = np.cumsum(newgrp) - 1
+        codes = np.empty(len(ws), dtype=np.int64)
+        codes[order] = gid
+        reps = ws[newgrp]
+        h60 = np.array(
+            [
+                int(hashlib.md5(
+                    r.tobytes().decode("utf-32-le").encode()
+                ).hexdigest()[:15], 16)
+                for r in reps
+            ],
+            dtype=np.uint64,
+        )
+        g = h60[codes]                     # occurrence hashes, doc order
+    offs = np.concatenate(([0], np.cumsum(ng[ng > 0])))
+    out, li = [], 0
+    for i in range(nd):
+        if ng[i] > 0:
+            hh = g[offs[li]:offs[li + 1]]
+            li += 1
+            if len(hh) <= w:
+                fps = hh.min(keepdims=True)
+            else:
+                fps = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(hh, w)
+                    .min(axis=1)
+                )
+            out.append(fps.view(np.int64).tolist())
+        elif is_null[i]:
+            out.append([None])             # JVM: null text → null print
+        else:
+            t = short[i]                   # one gram = the whole text
+            # 60-bit hash → always fits a positive int64, no wrap needed
+            out.append([int(hashlib.md5(t.encode()).hexdigest()[:15], 16)])
+    return out
+
+
 def winnow_fingerprints(docs, k: int = 5, w: int = 8,
                         text_col: str = "text", id_col: str = "doc_id"):
     """Winnowing document fingerprints (Schleimer et al., MOSS): hash every
@@ -139,48 +227,30 @@ def winnow_fingerprints(docs, k: int = 5, w: int = 8,
     detection (the rolling-hash fingerprinting the flat ``fingerprint``
     column can't do).
 
-    All JVM: gram explode → md5-60-bit hash (DuckDB-replayable, see
-    ``dedup.md5_hash60``) → per-doc sliding ``min() OVER`` → distinct.
-    One shuffle on ``doc_id`` carrying 8-byte hashes (the text never
-    shuffles); per-doc state is a w-row window — at 100 TB this
-    partitions freely by document with no skew beyond document length.
-    Short documents (< w full windows) contribute the minimum over all
-    their grams so nothing is silently dropped. Returns distinct
-    (id, fingerprint) rows."""
-    from pyspark.sql import Window
+    One Arrow pass (``_winnow_batch``: factorized grams, md5 once per
+    DISTINCT gram, vectorized sliding minima) replaces the round-5
+    explode → md5-per-occurrence → window pipeline, which shuffled and
+    sorted every gram occurrence (14 M rows at sf1.0) and paid JVM
+    md5+conv per occurrence — 5× the wall at 32 cores. The text never
+    leaves its task; only the per-doc distinct fingerprints (≤ one per
+    window position, typically ≪) reach the explode. Values are
+    byte-identical (DuckDB-replayable md5-60-bit hashes, see
+    ``dedup.md5_hash60``; the oracle and the hashlib replay test are
+    unchanged). Returns distinct (id, fingerprint) rows."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
 
-    from spark_frontier.analytics.dedup import md5_hash60
+    @pandas_udf(ArrayType(LongType()))
+    def _winnow(texts: pd.Series) -> pd.Series:
+        return pd.Series(_winnow_batch(texts, k, w))
 
     par = docs.sparkSession.sparkContext.defaultParallelism
-    t = F.col("_t")
-    # positional k-grams (duplicates kept — winnowing is positional, so
-    # _char_ngrams's array_distinct form does not apply here)
-    grams_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1))),
-        lambda i: t.substr(i, F.lit(k)),
+    normed = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_t")
+    ).repartition(par)
+    return normed.select(
+        F.col(id_col), F.explode(_winnow(F.col("_t"))).alias("fingerprint")
     )
-    grams = (
-        docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
-        # exchange barrier: keeps Catalyst from inlining the normalize
-        # regexp into the per-character substr lambda (see _char_ngrams)
-        .repartition(par)
-        .select(F.col(id_col), F.posexplode(grams_arr).alias("pos", "gram"))
-    )
-    gh = grams.select(
-        id_col, "pos", md5_hash60(F.col("gram")).alias("gh")
-    )
-    wspec = (
-        Window.partitionBy(id_col).orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    per_doc = Window.partitionBy(id_col)
-    sel = gh.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.min("gh").over(wspec).alias("fingerprint"),
-        F.count("*").over(per_doc).alias("n_grams"),
-    ).filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
-    return sel.select(id_col, "fingerprint").distinct()
 
 
 def repetition_signals(docs, text_col: str = "text",

@@ -220,8 +220,15 @@ def run_corpus_filter(
     report["n_exact"] = live.count()
     _tick("exact_dedup")
 
-    # ---- MinHash near-dup: keep one representative per cluster
-    pairs = minhash_lsh_pairs(live, threshold=neardup_threshold)
+    # ---- MinHash near-dup: keep one representative per cluster.
+    # verify='join': this corpus is near-dup DENSE (4.5 M surviving
+    # pairs at 100 k docs) — most bucket collisions survive, so the
+    # id-only join + JVM fold beats the bucket-kernel path, which wins
+    # only when collisions vastly outnumber survivors (see
+    # minhash_lsh_pairs; interleaved 2-core A/B round 6)
+    pairs = minhash_lsh_pairs(
+        live, threshold=neardup_threshold, verify="join"
+    )
     comps = dedup_clusters(
         pairs, vertices=live.select("doc_id"), id_a="doc_a", id_b="doc_b"
     )

@@ -213,6 +213,20 @@ def test_ann_persisted_index_matches_scan_variant(spark, tmp_path_factory):
     assert a == b and len(a) == 10
 
 
+def test_minhash_verify_paths_identical(spark):
+    """minhash_lsh_pairs' two verify topologies (bucket kernel vs
+    id-join + JVM fold) must return identical pairs AND identical
+    estimate doubles on the same corpus."""
+    from spark_frontier.analytics.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {(r["doc_a"], r["doc_b"]): r["jaccard_est"]
+         for r in minhash_lsh_pairs(docs, verify="bucket").collect()}
+    b = {(r["doc_a"], r["doc_b"]): r["jaccard_est"]
+         for r in minhash_lsh_pairs(docs, verify="join").collect()}
+    assert a == b and len(a) > 0
+
+
 def test_blocked_cosine_kernel_parity(spark):
     """The blocked-path Arrow kernel (BLAS prefilter + exact-fold verify)
     must be BIT-identical to the JVM zip_with/aggregate expression it
