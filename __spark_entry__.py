@@ -67,10 +67,17 @@ def q01_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative-pass-through topology). Seen = every 3rd event URL."""
     from spark_frontier.functions.bloom import build_bloom_segments, dedup_unseen
     from spark_frontier.functions.urls import url_key
+    from spark_frontier.storage.materialize import materialize
 
     ev = _event_url(_t(spark, sf_dir, "events"))
     frontier = ev.withColumn("url_key", url_key(F.col("url")))
-    seen = frontier.filter(F.col("event_id") % 3 == 0).select("url_key")
+    # the seen keys feed BOTH the bloom build and the exact anti-join —
+    # checkpoint once so the canonicalize UDF runs once per side, not
+    # three times (the crawl pipeline reads its seen set from the links
+    # snapshot, which is naturally materialized; this mirrors that)
+    seen = materialize(
+        frontier.filter(F.col("event_id") % 3 == 0).select("url_key")
+    )
     segments = build_bloom_segments(seen, n_segments=8)
     unseen = dedup_unseen(frontier, seen, segments=segments, n_segments=8)
     return unseen.select("event_id", "url")

@@ -116,12 +116,23 @@ def canonicalize_url(url_col) -> Column:
 
     @pandas_udf(StringType())
     def _canon(urls: pd.Series) -> pd.Series:
-        fast = urls.str.match(_FAST_CANONICAL, na=False)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # RE2-vectorized fast-path check (C++, ~10× python re per row —
+        # the canonicalize UDF was the dominant per-row cost of the q01
+        # frontier-dedup scan). ^...$ anchors make match_substring_regex
+        # a full match, same as pandas str.match with a $-terminated
+        # pattern; nulls fall to the slow path (→ None), as before.
+        arr = pa.Array.from_pandas(urls)
+        fast_a = pc.match_substring_regex(arr, _FAST_CANONICAL)
         # any "/."-ish segment (./ ../ trailing /. /.. /.?q) and default
         # ports go to the slow path; uppercase hosts already fail the regex
-        fast &= ~urls.str.contains("/.", regex=False)
-        fast &= ~urls.str.contains(":80/", regex=False)
-        fast &= ~urls.str.contains(":443/", regex=False)
+        for lit in ("/.", ":80/", ":443/"):
+            fast_a = pc.and_kleene(
+                fast_a, pc.invert(pc.match_substring(arr, lit))
+            )
+        fast = pc.fill_null(fast_a, False).to_numpy(zero_copy_only=False)
         if fast.all():
             return urls
         out = urls.copy()
