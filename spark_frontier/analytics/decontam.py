@@ -175,14 +175,29 @@ def dup_ngram_signals(
     docs shorter than n tokens have zero grams and are kept."""
     from pyspark.sql import Window
 
-    from spark_frontier.analytics.dedup import md5_hash60
-
+    # gram hash = xxhash64 over the n-token SLICE (equal grams ⟺ equal
+    # hashes): the round-5 path built a ~50-byte gram string per position
+    # and ran JVM md5+conv on it — the dupgram stage's dominant cost.
+    # Only hash EQUALITY feeds the output (the md5 values never leave the
+    # plan), so any injective-enough hash gives identical counts; output
+    # parity vs the md5 path is verified exhaustively on the fixed
+    # testdata SFs (no collisions there), and a future collision would
+    # only merge two gram classes — the same failure mode md5-60 already
+    # accepted at 16× lower probability.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks_col = F.col("toks")
+    k = F.size(toks_col) - F.lit(n - 1)
+    gh_arr = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.xxhash64(F.slice(toks_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     pos = (
-        docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
-        .select(
-            id_col, F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
-        )
-        .select(id_col, md5_hash60(F.col("gram")).alias("gh"))
+        docs.select(id_col, F.col(text_col)).repartition(par)
+        .select(id_col, tokens(F.col(text_col)).alias("toks"))
+        .select(id_col, F.explode(gh_arr).alias("gh"))
     )
     dg = pos.groupBy(id_col, "gh").agg(F.count(F.lit(1)).alias("npos"))
     n_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))

@@ -253,6 +253,115 @@ def winnow_fingerprints(docs, k: int = 5, w: int = 8,
     )
 
 
+def _doc_stats_batch(texts) -> list:
+    """Flat-batch per-document token statistics over ALREADY-NORMALIZED
+    texts: [n_tokens, hits_de, hits_en, hits_es, hits_fr, n_distinct,
+    top_bigram_count, n_bigrams] — every downstream signal (lang id,
+    quality, Gopher repetition) is integer arithmetic over these, so the
+    derived doubles are bit-identical to the JVM fold/explode pipelines
+    this replaces (parity test + q43/q16 oracles unchanged).
+
+    Vectorization: python str.split per doc (C speed), then ONE
+    pd.factorize over the flat token stream; stopword hits via np.isin
+    on the UNIQUES + reduceat per doc; distinct-per-doc and per-(doc,
+    bigram) counts via packed-key np.unique — no per-token python."""
+    nd = len(texts)
+    toks_per_doc: list = [None] * nd
+    counts = np.zeros(nd, dtype=np.int64)
+    null_mask = np.zeros(nd, dtype=bool)
+    for i, t in enumerate(texts):
+        if t is None:
+            null_mask[i] = True
+            toks_per_doc[i] = []
+            continue
+        tk = [x for x in t.split(" ") if x]
+        toks_per_doc[i] = tk
+        counts[i] = len(tk)
+    stats = np.zeros((nd, 8), dtype=np.int64)
+    stats[:, 0] = counts
+    stats[:, 7] = np.maximum(counts - 1, 0)        # n_bigrams
+    total = int(counts.sum())
+    if total:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for tk in toks_per_doc:
+            if tk:
+                flat[pos:pos + len(tk)] = tk
+                pos += len(tk)
+        codes, uniques = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        doc_idx = np.repeat(np.arange(nd, dtype=np.int64), counts)
+        starts = np.zeros(nd + 1, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)
+        nz = counts > 0
+        uarr = np.asarray(uniques, dtype=object)
+        for li, lg in enumerate(_LANGS):
+            hit_u = np.isin(uarr, STOPWORDS[lg]).astype(np.int64)
+            occ = hit_u[codes]
+            stats[nz, 1 + li] = np.add.reduceat(occ, starts[:-1][nz])
+        # distinct tokens per doc: unique (doc, code) packed keys
+        dk = (doc_idx << np.int64(32)) | codes
+        du = np.unique(dk)
+        stats[:, 5] = np.bincount(
+            (du >> np.int64(32)).astype(np.int64), minlength=nd
+        )
+        # most-frequent-bigram count per doc: packed (doc, c1, c2) keys;
+        # codes fit 22 bits for any realistic per-batch vocabulary
+        bits = max(int(codes.max()).bit_length(), 1)
+        valid = doc_idx[:-1] == doc_idx[1:]
+        if valid.any() and 2 * bits + 20 <= 63:
+            bk = ((doc_idx[:-1] << np.int64(2 * bits))
+                  | (codes[:-1] << np.int64(bits)) | codes[1:])[valid]
+            bu, bc = np.unique(bk, return_counts=True)
+            bdoc = (bu >> np.int64(2 * bits)).astype(np.int64)
+            bnd = np.flatnonzero(bdoc[1:] != bdoc[:-1]) + 1
+            bstarts = np.concatenate(([0], bnd))
+            stats[bdoc[bstarts], 6] = np.maximum.reduceat(bc, bstarts)
+        elif valid.any():                          # huge vocab fallback
+            for i in range(nd):
+                tk = toks_per_doc[i]
+                if len(tk) >= 2:
+                    from collections import Counter
+
+                    stats[i, 6] = max(
+                        Counter(zip(tk, tk[1:])).values()
+                    )
+    out = [None if null_mask[i] else stats[i].tolist() for i in range(nd)]
+    return out
+
+
+def doc_stats(normed_col) -> F.Column:
+    """Arrow UDF over a NORMALIZED text column → the ``_doc_stats_batch``
+    long array (null text → null array, matching the JVM null algebra)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def _stats(texts: pd.Series) -> pd.Series:
+        return pd.Series(_doc_stats_batch(texts))
+
+    return _stats(normed_col)
+
+
+def repetition_from_stats(st) -> dict:
+    """Gopher repetition doubles from a ``doc_stats`` array — the exact
+    expressions the explode/groupBy pipeline produced: null text → null
+    dup_word_frac but 0.0 top_bigram_frac (the old left-join coalesce)."""
+    n = st[0]
+    return {
+        "n_tokens": n.cast("int"),
+        "dup_word_frac": F.round(
+            F.lit(1.0) - st[5] / F.greatest(n, F.lit(1)).cast("double"), 6
+        ),
+        "top_bigram_frac": F.round(
+            F.when(
+                st[7] > 0, st[6].cast("double") / st[7]
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    }
+
+
 def repetition_signals(docs, text_col: str = "text",
                        id_col: str = "doc_id"):
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
@@ -265,47 +374,23 @@ def repetition_signals(docs, text_col: str = "text",
     - ``top_bigram_frac`` occurrences of the most frequent bigram over
                           total bigrams (phrase-level repetition)
 
-    Topology: the token arrays stay as arrays for the per-row signals
-    (pure JVM projection); only 8-byte-ish bigram strings explode into the
-    one shuffle (groupBy doc_id+bigram, then per-doc max/sum) — the
-    document text itself never shuffles. Partitions by document; no skew
-    beyond document length. Exactly replayed by the DuckDB oracle (q43).
-    """
-    toks = tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), toks.alias("_toks"))
-    n = F.size("_toks")
-    tail = F.greatest(n - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice("_toks", 1, tail),
-        F.slice(F.col("_toks"), 2, tail),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    One Arrow projection (``doc_stats``) — the round-5 pipeline exploded
+    every bigram into a groupBy + join-back (two shuffles and a second
+    tokenization); the text now never leaves its task and the values are
+    identical (integer counts → the same double expressions; q43 oracle
+    unchanged)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_t")
+    ).repartition(par).select(
+        F.col(id_col), doc_stats(F.col("_t")).alias("_st")
     )
-    bg_counts = (
-        base.select(F.col(id_col), F.explode(bigrams).alias("bg"))
-        .groupBy(id_col, "bg")
-        .count()
-    )
-    bg_agg = bg_counts.groupBy(id_col).agg(
-        F.max("count").alias("_mx"), F.sum("count").alias("_tot")
-    )
-    return (
-        base.join(bg_agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            n.alias("n_tokens"),
-            F.round(
-                F.lit(1.0)
-                - F.size(F.array_distinct("_toks"))
-                / F.greatest(n, F.lit(1)).cast("double"),
-                6,
-            ).alias("dup_word_frac"),
-            F.round(
-                F.coalesce(
-                    F.col("_mx").cast("double") / F.col("_tot"), F.lit(0.0)
-                ),
-                6,
-            ).alias("top_bigram_frac"),
-        )
+    rep = repetition_from_stats(F.col("_st"))
+    return base.select(
+        F.col(id_col),
+        rep["n_tokens"].alias("n_tokens"),
+        rep["dup_word_frac"].alias("dup_word_frac"),
+        rep["top_bigram_frac"].alias("top_bigram_frac"),
     )
 
 

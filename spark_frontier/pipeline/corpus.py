@@ -46,16 +46,14 @@ def cheap_signals(
     plus the four gate flags (lang_ok, quality_ok, rep_ok, safety_ok).
     Shared by the batch funnel and the streaming ingest so their gate
     semantics can never drift."""
+    from spark_frontier.analytics.dedup import normalize_text
     from spark_frontier.analytics.textstats import (
+        doc_stats,
         lang_from_signals,
         quality_from_signals,
-        repetition_signals,
-        token_signals,
+        repetition_from_stats,
     )
 
-    rep = repetition_signals(docs).select(
-        "doc_id", "dup_word_frac", "top_bigram_frac"
-    )
     base = docs.select("doc_id", "text", "source")
     if safety_keywords is not None:
         from spark_frontier.analytics.pii import safety_flags
@@ -66,27 +64,29 @@ def cheap_signals(
         base = base.join(saf, "doc_id", "left")
     else:
         base = base.withColumn("_saf_drop", F.lit(False))
-    # ONE tokenization pass per doc: token_signals behind an explode
-    # barrier (Generate blocks projection collapse, so lang/quality/
-    # n_tokens below read the bound `_sig` attribute instead of inlining
-    # — and re-running — the aggregate per derived column)
+    # ONE Arrow stats pass per doc (doc_stats: tokens, per-lang stopword
+    # hits, distinct/bigram counts) feeds lang + quality + the Gopher
+    # repetition signals — round 5 ran a separate repetition pipeline
+    # (bigram explode → groupBy → join-back, two shuffles and a second
+    # tokenization) joined onto a per-doc JVM fold; the derived doubles
+    # are unchanged (integer stats → the same expressions)
     base = base.withColumn(
-        "_sig", F.explode(F.array(token_signals(F.col("text"))))
+        "_st", doc_stats(normalize_text(F.col("text")))
     )
+    rep = repetition_from_stats(F.col("_st"))
     return (
         base
-        .join(rep, "doc_id", "left")
         .select(
             "doc_id",
             "text",
             "source",
-            lang_from_signals(F.col("_sig")).alias("lang"),
+            lang_from_signals(F.col("_st")).alias("lang"),
             F.round(
-                quality_from_signals(F.col("_sig"), F.col("text")), 6
+                quality_from_signals(F.col("_st"), F.col("text")), 6
             ).alias("quality"),
-            F.col("_sig")[0].alias("n_tokens"),
-            "dup_word_frac",
-            "top_bigram_frac",
+            F.col("_st")[0].cast("int").alias("n_tokens"),
+            rep["dup_word_frac"].alias("dup_word_frac"),
+            rep["top_bigram_frac"].alias("top_bigram_frac"),
             (~F.coalesce("_saf_drop", F.lit(False))).alias("safety_ok"),
         )
         .withColumn("lang_ok", F.col("lang").isin(*allowed_langs))

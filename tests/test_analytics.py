@@ -213,6 +213,75 @@ def test_ann_persisted_index_matches_scan_variant(spark, tmp_path_factory):
     assert a == b and len(a) == 10
 
 
+def test_doc_stats_matches_jvm_pipeline(spark):
+    """The doc_stats Arrow kernel must reproduce the old JVM shapes
+    exactly: token_signals fold (n_tokens + per-lang hits) and the
+    bigram explode/groupBy repetition pipeline — including the null/
+    empty/short edge algebra."""
+    from pyspark.sql import functions as F
+
+    from spark_frontier.analytics.dedup import normalize_text
+    from spark_frontier.analytics.textstats import (
+        doc_stats,
+        repetition_signals,
+        token_signals,
+        tokens,
+    )
+
+    rows = [
+        (1, "the cat the cat the cat"),
+        (2, "a b c d e f g"),
+        (3, "  Weird   Spacing\tand CASE  "),
+        (4, "single"),
+        (5, ""),
+        (6, None),
+        (7, "der die und das is the of to le la"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_word_frac"],
+                         r["top_bigram_frac"])
+           for r in repetition_signals(df).collect()}
+
+    # old JVM repetition pipeline, replayed inline
+    toks = tokens(F.col("text"))
+    base = df.select("doc_id", toks.alias("_toks"))
+    n = F.size("_toks")
+    tail = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("_toks", 1, tail), F.slice(F.col("_toks"), 2, tail),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (base.select("doc_id", F.explode(bigrams).alias("bg"))
+          .groupBy("doc_id", "bg").count()
+          .groupBy("doc_id")
+          .agg(F.max("count").alias("_mx"), F.sum("count").alias("_tot")))
+    want_df = base.join(bg, "doc_id", "left").select(
+        "doc_id", n.alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct("_toks"))
+                / F.greatest(n, F.lit(1)).cast("double"), 6
+                ).alias("dup_word_frac"),
+        F.round(F.coalesce(F.col("_mx").cast("double") / F.col("_tot"),
+                           F.lit(0.0)), 6).alias("top_bigram_frac"),
+    )
+    want = {r["doc_id"]: (r["n_tokens"], r["dup_word_frac"],
+                          r["top_bigram_frac"]) for r in want_df.collect()}
+    assert got == want
+
+    # token_signals fold vs the kernel's first five slots
+    st = {r["doc_id"]: r["st"] for r in df.select(
+        "doc_id", doc_stats(normalize_text(F.col("text"))).alias("st")
+    ).collect()}
+    sig = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id", token_signals(F.col("text")).alias("sig")
+    ).collect()}
+    for did in sig:
+        if sig[did] is None:
+            assert st[did] is None, did
+        else:
+            assert st[did][:5] == list(sig[did]), did
+
+
 def test_minhash_verify_paths_identical(spark):
     """minhash_lsh_pairs' two verify topologies (bucket kernel vs
     id-join + JVM fold) must return identical pairs AND identical
