@@ -852,10 +852,12 @@ def embedding_neardup_pairs(
 # connected components: near-dup pairs -> dedup clusters
 
 
-def _driver_components(edges: DataFrame) -> DataFrame:
+def _driver_components(edges: DataFrame, rows=None) -> DataFrame:
     """Union-find closure of a SMALL (already counted) symmetrized edge
     list: one collect, path-compressed finds, representative = component
-    min id. Returns (doc_id, cluster_id) typed like the edge columns."""
+    min id. Returns (doc_id, cluster_id) typed like the edge columns.
+    ``rows``: the already-collected edge rows, when the caller's size
+    gate fetched them (saves re-running the edge plan)."""
     from pyspark.sql import types as T
 
     parent: dict = {}
@@ -868,7 +870,7 @@ def _driver_components(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
+    for row in (edges.collect() if rows is None else rows):
         a, b = row["src"], row["dst"]
         # register endpoints even when the union is a no-op (self-loop
         # or already merged) so every edge vertex reaches the output,
@@ -938,8 +940,14 @@ def dedup_clusters(
     eb = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = ea.unionByName(eb).distinct().transform(materialize)
 
-    if edges.count() <= driver_edge_threshold:
-        out = _driver_components(edges)
+    # size gate in ONE job: a limited collect replaces count()+collect()
+    # — when the graph is small (the common dedup shape) the rows are
+    # already in hand; at threshold+1 rows we stop and go distributed
+    # (the over-limit collect reads ≤ ~threshold × 16 B from the
+    # checkpoint, bounded regardless of graph size)
+    gate_rows = edges.limit(driver_edge_threshold + 1).collect()
+    if len(gate_rows) <= driver_edge_threshold:
+        out = _driver_components(edges, rows=gate_rows)
         if vertices is not None:
             out = (
                 vertices.select("doc_id").distinct()

@@ -119,25 +119,38 @@ def dsir_logweights(
                   / F.lit(float(total + n_buckets))).alias("lp"),
         ), float(total)
 
+    from pyspark.sql import Observation
+
     from spark_frontier.storage.materialize import materialize
 
     # ONE corpus pass: the (doc, bucket, count) table is materialized and
     # feeds BOTH the raw LM (sum over docs) and the scoring join — without
     # the cut, the raw-LM normalizer action and the final collection each
-    # re-run the corpus explode
+    # re-run the corpus explode. The raw normalizer Σn rides the
+    # checkpoint job as an Observation (the same integer sum, one fewer
+    # driver-blocking job).
+    obs = Observation("dsir_raw_total")
     doc_counts = materialize(
         buckets_of(docs).groupBy(id_col, "bucket").agg(
             F.count(F.lit(1)).alias("n")
-        )
+        ).observe(obs, F.sum("n").alias("t"))
     )
     t_lm, t_total = lm_from_counts(
         buckets_of(target_docs).groupBy("bucket").agg(
             F.count(F.lit(1)).alias("c")
         )
     )
-    r_lm, r_total = lm_from_counts(
-        doc_counts.groupBy("bucket").agg(F.sum("n").alias("c"))
+    r_counts = doc_counts.groupBy("bucket").agg(F.sum("n").alias("c"))
+    try:
+        r_total_i = int(obs.get["t"] or 0)
+    except Exception:      # empty corpus → the metric never fires
+        r_total_i = 0
+    r_lm = r_counts.select(
+        "bucket",
+        F.log((F.col("c") + 1).cast("double")
+              / F.lit(float(r_total_i + n_buckets))).alias("lp"),
     )
+    r_total = float(r_total_i)
     # unseen-bucket log-probs (the smoothing floor) so the broadcast
     # tables stay sparse: missing bucket => ln(1 / (total + B))
     t_floor = -F.log(F.lit(t_total + n_buckets))
