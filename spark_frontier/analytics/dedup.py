@@ -938,7 +938,13 @@ def dedup_clusters(
     ``doc_id`` column), isolated docs appear as their own cluster."""
     ea = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     eb = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = ea.unionByName(eb).distinct().transform(materialize)
+    # NO distinct: duplicate edges can never change connected components
+    # (union-find unions are idempotent; min-label propagation takes a
+    # min over neighbors, which duplicates don't move) — and every
+    # in-repo producer emits unique pairs anyway. The old defensive
+    # distinct was a full extra shuffle of the edge list (9 M rows on
+    # the corpus funnel).
+    edges = ea.unionByName(eb).transform(materialize)
 
     # size gate in ONE job: a limited collect replaces count()+collect()
     # — when the graph is small (the common dedup shape) the rows are
