@@ -88,12 +88,19 @@ def ngram_jaccard_pairs(
     in corpus size. Near-dup pairs keep high scores because their rare
     grams dominate numerator and denominator alike. The DuckDB oracle in
     __spark_entry__.py applies the identical rule."""
+    from pyspark.sql import Observation
+
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # the doc count (df_cap input) rides the checkpoint job as an
+    # Observation on the pre-explode projection — it was a separate
+    # driver-blocking count() job per call
+    obs = Observation("ngram_n_docs")
     grams = (
         docs.select("doc_id", normalize_text(F.col(text_col)).alias("_t"))
         # spread the explode+hash across cores: a small-file parquet scan
         # is one task, and this stage does the gram-count-dominated work
         .repartition(par)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .select("doc_id", F.explode(_char_ngrams(F.col("_t"), n)).alias("gram"))
         .withColumn("gram", F.xxhash64("gram"))  # shuffle 8 bytes, not strings
         # materialize once: grams feed the hot-gram agg, the sizes agg, and
@@ -101,7 +108,10 @@ def ngram_jaccard_pairs(
         # dominate the query
         .transform(materialize)
     )
-    n_docs = docs.count()
+    try:
+        n_docs = int(obs.get["n"] or 0)
+    except Exception:      # empty input → the metric never fires
+        n_docs = 0
     df_cap = max(df_cap_min, int(df_cap_frac * n_docs))
     hot = grams.groupBy("gram").count().filter(F.col("count") > df_cap).select("gram")
     pruned = materialize(grams.join(F.broadcast(hot), on="gram", how="left_anti"))
