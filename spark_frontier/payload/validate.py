@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spark_frontier.payload.codec import decode_image, phash64, synth_pixels
@@ -221,6 +221,89 @@ def validate_images(
 
     rc = ref_caption if ref_caption is not None else F.lit(None).cast("string")
     return _validate(image_id, data, w, h, fmt, caption, rc)
+
+
+# Python str.strip() whitespace, as a Java regex class (verified char-by-char
+# against str.strip over the whole BMP; no codepoint above the BMP is
+# whitespace): ASCII ws + \x1c-\x1f (bidi seps) + NEL + NBSP + Ogham +
+# en-quads..hair space + line/para sep + narrow NBSP + math space + CJK space.
+_PY_WS_CLASS = (
+    "[ \\t\\n\\x0B\\f\\r\\x1C-\\x1F\\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
+def per_image_validation(images: DataFrame) -> DataFrame:
+    """ONE pixel-validation pass over the originals store: decode + dims +
+    fmt + PSNR per DISTINCT image, not per fetched row. The wave joins these
+    three narrow scalars back by image_id instead of carrying ``bytes``
+    through the join at all — at 10^6 fetches of 10^3 originals the decode
+    work drops by the reference-amplification factor, and encoded payloads
+    never enter any join (guide §4.1/§6).
+
+    Caption inputs are dummied (non-empty caption, NULL ref) so the kernel's
+    caption branches pass and the result isolates the pixel checks; the
+    per-row caption checks are recomposed in JVM by ``validate_fetched``."""
+    v = validate_images(
+        F.col("image_id"), F.col("bytes"), F.col("w"), F.col("h"),
+        F.col("fmt"), F.lit("x"), F.lit(None).cast("string"),
+    )
+    return images.select(
+        "image_id",
+        F.col("caption").alias("_ref_caption"),
+        v["is_valid"].alias("_px_valid"),
+        v["reason"].alias("_px_reason"),
+        v["psnr_db"].alias("_px_psnr"),
+    )
+
+
+def validate_fetched(
+    fetched: DataFrame, images: DataFrame, broadcast_images: bool = False
+) -> DataFrame:
+    """Row-level validation recomposed from the per-image pass + JVM caption
+    checks — value-identical to running ``validate_images`` on every fetched
+    row with the payload attached (test_validate.py parity test), with zero
+    Python work on the fetched rows.
+
+    Exact replay of the kernel's branch order per row:
+      1. caption missing  (NULL or all-Python-whitespace — _PY_WS_CLASS)
+      2. caption mismatch (ref known only for http 200 rows)
+      3. unknown format   (non-200 rows and unmatched image_ids see a NULL
+                           fmt, exactly as the late payload join nulled it)
+      4. decode/dims/psnr/lossless — the per-image result, verbatim
+    psnr_db is surfaced only when the row reaches step 4, as in the kernel.
+
+    ``broadcast_images``: force-broadcast the per-image results (3 scalars +
+    ref caption per image — safe for originals stores up to ~10^6 rows; the
+    caller gates on the store's row count). Default lets Catalyst choose;
+    at 100 TB the originals store is bucketed on image_id and the join is
+    co-located."""
+    px = per_image_validation(images)
+    if broadcast_images:
+        px = F.broadcast(px)
+    joined = fetched.join(px, on="image_id", how="left")
+    ok = F.col("http_code") == 200
+    # a row "matched" iff it is a 200 fetch AND the image exists in the
+    # store — otherwise the old late-payload join handed the kernel NULL
+    # payload columns and the fmt check fired first
+    matched = ok & F.col("_px_valid").isNotNull()
+    cap = F.col("caption")
+    cap_missing = cap.isNull() | cap.rlike("^" + _PY_WS_CLASS + "*$")
+    ref = F.when(ok, F.col("_ref_caption"))
+    cap_mismatch = ref.isNotNull() & (cap != ref)
+    reason = (
+        F.when(cap_missing, F.lit("missing caption"))
+        .when(cap_mismatch, F.lit("caption mismatch"))
+        .when(~matched, F.lit("unknown format None"))
+        .otherwise(F.col("_px_reason"))
+    )
+    psnr = F.when(~cap_missing & ~cap_mismatch & matched, F.col("_px_psnr"))
+    return (
+        joined.withColumn("is_valid", reason.isNull())
+        .withColumn("invalid_reason", reason)
+        .withColumn("psnr_db", psnr)
+        .drop("_ref_caption", "_px_valid", "_px_reason", "_px_psnr")
+    )
 
 
 def phash_column(data: Column) -> Column:

@@ -42,9 +42,9 @@ from pyspark.sql import functions as F
 
 from spark_frontier.frontier.priority import build_candidates
 from spark_frontier.frontier.recency import filter_recent
-from spark_frontier.fetch.fetcher import attach_payload, hermetic_fetch
+from spark_frontier.fetch.fetcher import hermetic_fetch
 from spark_frontier.functions.bloom import build_bloom_segments, dedup_unseen
-from spark_frontier.payload.validate import validate_images
+from spark_frontier.payload.validate import validate_fetched
 from spark_frontier.politeness.backoff import (
     blocked_hosts,
     empty_host_state,
@@ -61,6 +61,7 @@ from spark_frontier.storage import SnapStore
 from spark_frontier.storage.materialize import materialize
 
 _HS_LITERAL_CAP = 4096  # above this, broadcast-join the host state
+_IMAGES_BROADCAST_CAP = 1_000_000  # per-image validation results: ~50 B/row
 
 LINK_COLUMNS = [
     "site_id", "url", "canon_url", "url_key", "url_hash", "host", "image_id",
@@ -152,24 +153,21 @@ def fetch_and_validate(
     shuffles."""
     to_fetch = wave_batch.drop("site_seq", "depth", "path", "sitemap_pos")
     fetched = hermetic_fetch(to_fetch, world["web_pages"], batch_ts)
-    with_payload = attach_payload(fetched, world["images"])
-    return (
-        with_payload.withColumn(
-            "_v",
-            validate_images(
-                F.col("image_id"), F.col("bytes"), F.col("w"), F.col("h"),
-                F.col("fmt"), F.col("caption"), F.col("ref_caption"),
-            ),
-        )
-        .select(
-            "*",
-            F.col("_v")["is_valid"].alias("is_valid"),
-            F.col("_v")["reason"].alias("invalid_reason"),
-            F.col("_v")["psnr_db"].alias("psnr_db"),
-        )
-        # payload columns end at validation: carrying `bytes` into the
-        # post-validate checkpoint would materialize ~GBs for nothing
-        .drop("_v", "bytes", "ref_caption", "phash", "w", "h", "fmt")
+    # DEDUPED VALIDATION (guide §4.1): decode+PSNR once per DISTINCT image
+    # in the originals store, join 3 narrow scalars back by image_id, and
+    # recompose the per-row caption checks in JVM — value-identical to the
+    # old attach_payload+validate_images per row (parity test), with the
+    # Python boundary and the payload-bytes join gone from the wave
+    # entirely. Broadcast of the per-image results is gated on the store's
+    # row count (parquet metadata count, memoized across cycles on the
+    # world dict, same pattern as the robots-rules gate).
+    n_images = world.get("_images_n")
+    if n_images is None:
+        n_images = world["images"].count()
+        world["_images_n"] = n_images
+    return validate_fetched(
+        fetched, world["images"],
+        broadcast_images=n_images <= _IMAGES_BROADCAST_CAP,
     )
 
 
@@ -178,11 +176,18 @@ def build_link_rows(
     batch_ts: datetime,
     sites: DataFrame | None = None,
     keep: list[str] | None = None,
+    dedup_content_cats: bool = False,
 ) -> DataFrame:
     """Link rows for the sink, incl. V6-V9 categorization (the reference
     categorizes every saved article, crawl_scheduler.py:276-294): broadcast
     site_type/sport_focus from sites, then the all-JVM precedence chain
-    (forced focus ≻ URL segment ≻ URL pattern ≻ caption score ≻ 'sports')."""
+    (forced focus ≻ URL segment ≻ URL pattern ≻ caption score ≻ 'sports').
+
+    ``dedup_content_cats``: score content texts once per DISTINCT
+    (title, caption) value instead of per row (with_category dedup mode —
+    value-identical). The cycle enables it when the originals store is
+    small (captions ride the payload, so its row count bounds the
+    distinct-text set)."""
     from spark_frontier.extract.category import with_category
     from spark_frontier.functions.urls import sha256_hex
 
@@ -208,7 +213,7 @@ def build_link_rows(
     rows = with_category(
         rows, url="url", title="title", content="caption",
         site_type="site_type", sport_focus="sport_focus",
-        out="sport_category",
+        out="sport_category", dedup_content=dedup_content_cats,
     )
     return (
         rows.withColumn("first_seen_at", F.lit(batch_ts))
@@ -825,6 +830,13 @@ def _run_cycle_inner(
             rows_obs = build_link_rows(
                 rows_obs, batch_ts, sites=world["sites"],
                 keep=["politeness_deadline"],
+                # fetch_and_validate memoized the originals-store count;
+                # captions ride the payload, so it bounds the distinct
+                # content-text set the dedup mode broadcasts
+                dedup_content_cats=(
+                    world.get("_images_n", _IMAGES_BROADCAST_CAP + 1)
+                    <= _IMAGES_BROADCAST_CAP
+                ),
             ).observe(
                 obs_v,
                 F.count(F.lit(1)).alias("n"),
