@@ -259,9 +259,6 @@ def start_stream_crawl(
             batch_ts,
             sites=sites,
             keep=["politeness_deadline"],
-            # same gate as the batch cycle: fetch_and_validate memoized
-            # the originals-store count on the world dict
-            dedup_content_cats=world.get("_images_n", 1 << 62) <= 1_000_000,
         ).transform(materialize)
         n = rows_full.count()
         if n == 0:
