@@ -120,10 +120,12 @@ def detect_from_url_py(url: str) -> str | None:
     return None
 
 
-def detect_from_content_py(title: str, content: str) -> str | None:
-    """detect_from_content (category_detector.py:105-142): keyword count
-    argmax with MIN_CONFIDENCE_SCORE gate. dict-order tie-break (python max)."""
-    text = f"{title or ''} {(content or '')[:2000]}".lower()
+def score_text_py(text: str) -> str | None:
+    """The counting core of detect_from_content on an ALREADY-prepared
+    (concatenated+lowered) text: keyword count argmax with the
+    MIN_CONFIDENCE_SCORE gate, dict-order tie-break (python max). Shared
+    by the reference implementation below and the Arrow step-3/4 kernel,
+    so the two cannot drift."""
     scores: dict[str, int] = {}
     for category, keywords in CATEGORY_KEYWORDS.items():
         s = 0
@@ -135,6 +137,11 @@ def detect_from_content_py(title: str, content: str) -> str | None:
         return None
     best = max(scores, key=scores.get)
     return best if scores[best] >= MIN_CONFIDENCE_SCORE else None
+
+
+def detect_from_content_py(title: str, content: str) -> str | None:
+    """detect_from_content (category_detector.py:105-142)."""
+    return score_text_py(f"{title or ''} {(content or '')[:2000]}".lower())
 
 
 def detect_py(url: str, title: str, content: str,
@@ -239,6 +246,68 @@ def url_pattern_category(url: Column) -> Column:
             cond, F.lit(cat)
         )
     return chain.otherwise(expr)
+
+
+def _step34_kernel():
+    """Arrow kernel for precedence steps 3+4 (URL pattern ≻ content score)
+    on rows the cheap steps left unresolved — the crawl wave's hot variant
+    of the chain (guide §4.2):
+
+    - step 3 runs each category's alternation ONCE over the whole path
+      array through RE2 (``pc.match_substring_regex`` — a DFA scan,
+      linear regardless of alternative count), instead of five
+      backtracking Java-regex evaluations per row;
+    - step 4 factorizes the scored texts and runs the reference
+      ``score_text_py`` once per DISTINCT text (captions repeat heavily;
+      per-batch dedup needs no broadcast and no extra job).
+
+    Inputs are the SAME JVM expressions the inline chain scores (the
+    lowered parse_url path, the _cs_txt text), so equality with the
+    inline chain reduces to RE2≡Java-regex on literal alternations and
+    the existing score-parity test (test_with_category_jvm_matches_python
+    runs the same grid through both modes)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    cat_patterns = [(cat, _url_cat_regex(cat)) for cat in CATEGORY_KEYWORDS]
+
+    @pandas_udf(StringType())
+    def _step34(paths: pd.Series, txts: pd.Series,
+                unresolved: pd.Series) -> pd.Series:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(paths)
+        out = np.full(n, None, dtype=object)
+        mask = unresolved.to_numpy(dtype=bool, na_value=False)
+        if not mask.any():
+            return pd.Series(out, dtype=object)
+        idx = np.nonzero(mask)[0]
+        parr = pa.array(paths.iloc[idx].to_numpy(dtype=object),
+                        type=pa.string())
+        remaining = np.ones(len(idx), dtype=bool)
+        for cat, pat in cat_patterns:  # dict order = precedence
+            if not remaining.any():
+                break
+            m = pc.match_substring_regex(parr, pat).to_numpy(
+                zero_copy_only=False
+            )
+            hit = m & remaining
+            out[idx[hit]] = cat
+            remaining &= ~m
+        rem = idx[remaining]
+        if len(rem):
+            codes, uniques = pd.factorize(
+                txts.iloc[rem], use_na_sentinel=False
+            )
+            per_uniq = [score_text_py(u if isinstance(u, str) else "")
+                        for u in uniques]
+            res = np.array(per_uniq, dtype=object)[codes]
+            out[rem] = res
+        return pd.Series(out, dtype=object)
+
+    return _step34
 
 
 def content_text(title: Column, content: Column) -> Column:
@@ -354,6 +423,7 @@ def with_category(
     sport_focus: str = "sport_focus",
     out: str = "sport_category",
     dedup_content: bool = False,
+    step34_kernel: bool = False,
 ):
     """Full V6-V9 precedence chain (category_detector.py:144-206), all JVM:
 
@@ -375,6 +445,7 @@ def with_category(
     the distinct texts (parity test). Callers gate on the expected text
     cardinality (the crawl cycle: captions ride the originals store, so
     its row count bounds the distinct set; the broadcast is ~20 B/text)."""
+    assert not (dedup_content and step34_kernel)
     t, c = F.col(title), F.col(content)
     forced = F.when(
         (F.lower(F.coalesce(F.col(site_type), F.lit(""))) == "specific")
@@ -382,6 +453,29 @@ def with_category(
         & (F.col(sport_focus) != ""),
         F.col(sport_focus),
     )
+    if step34_kernel:
+        # steps 1-2 stay JVM; steps 3-4 (pattern + content score) run in
+        # the Arrow kernel on the rows they leave unresolved
+        resolved12 = F.coalesce(
+            forced,
+            _session_cached(
+                ("seg_only", url), lambda: segment_category(F.col(url))
+            ),
+        )
+        step = df.withColumn("_resolved", resolved12).withColumn(
+            "_cs_txt",
+            F.when(F.col("_resolved").isNull(), content_text(t, c)).otherwise(
+                F.lit("")
+            ),
+        )
+        path = F.lower(
+            F.coalesce(F.parse_url(F.col(url), F.lit("PATH")), F.lit(""))
+        )
+        kernel = _session_cached(("step34_kernel",), _step34_kernel)
+        k = kernel(path, F.col("_cs_txt"), F.col("_resolved").isNull())
+        return step.withColumn(
+            out, F.coalesce(F.col("_resolved"), k, F.lit("sports"))
+        ).drop("_resolved", "_cs_txt")
     url_resolved = _session_cached(
         ("url_resolved", url),
         lambda: F.coalesce(

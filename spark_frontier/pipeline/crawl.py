@@ -176,18 +176,17 @@ def build_link_rows(
     batch_ts: datetime,
     sites: DataFrame | None = None,
     keep: list[str] | None = None,
-    dedup_content_cats: bool = False,
+    category_kernel: bool = True,
 ) -> DataFrame:
     """Link rows for the sink, incl. V6-V9 categorization (the reference
     categorizes every saved article, crawl_scheduler.py:276-294): broadcast
-    site_type/sport_focus from sites, then the all-JVM precedence chain
+    site_type/sport_focus from sites, then the precedence chain
     (forced focus ≻ URL segment ≻ URL pattern ≻ caption score ≻ 'sports').
 
-    ``dedup_content_cats``: score content texts once per DISTINCT
-    (title, caption) value instead of per row (with_category dedup mode —
-    value-identical). The cycle enables it when the originals store is
-    small (captions ride the payload, so its row count bounds the
-    distinct-text set)."""
+    ``category_kernel`` (default on — the wave path): precedence steps 3-4
+    run in the Arrow kernel (RE2 pattern pass + per-distinct-text content
+    scoring), value-identical to the all-JVM chain (grid parity test);
+    steps 1-2 stay JVM either way."""
     from spark_frontier.extract.category import with_category
     from spark_frontier.functions.urls import sha256_hex
 
@@ -213,7 +212,7 @@ def build_link_rows(
     rows = with_category(
         rows, url="url", title="title", content="caption",
         site_type="site_type", sport_focus="sport_focus",
-        out="sport_category", dedup_content=dedup_content_cats,
+        out="sport_category", step34_kernel=category_kernel,
     )
     return (
         rows.withColumn("first_seen_at", F.lit(batch_ts))
@@ -830,12 +829,11 @@ def _run_cycle_inner(
             rows_obs = build_link_rows(
                 rows_obs, batch_ts, sites=world["sites"],
                 keep=["politeness_deadline"],
-                # dedup_content_cats stays OFF here: the distinct-text
-                # broadcast side would recompute the whole un-checkpointed
-                # wave upstream (candidates → dedup → deadlines → fetch
-                # join) as a SERIAL pre-job — measured ~5 s to save ~1.4 s
-                # of scoring at 32 cores. The mode only pays when the
-                # category input is a cheap scan.
+                # (with_category's dedup_content mode was also tried here:
+                # its distinct-text broadcast side recomputes the whole
+                # un-checkpointed wave upstream as a SERIAL pre-job —
+                # measured ~5 s to save ~1.4 s at 32 cores. The fused
+                # Arrow kernel keeps the dedup per-batch instead.)
             ).observe(
                 obs_v,
                 F.count(F.lit(1)).alias("n"),

@@ -65,15 +65,32 @@ def expand_sitemap_tree(
     results: list[DataFrame] = []
 
     n_pending = 1  # seeds are non-empty by construction
+    # worklists are per-level SITEMAP URL lists — orders of magnitude
+    # smaller than the pages table (which holds document bodies). Below
+    # this count the docs join broadcasts the WORKLIST side: the pages
+    # scan streams in parallel file splits and no content bytes enter a
+    # broadcast build or a shuffle. (Catalyst's stats-based choice gets
+    # this exactly backwards here: the pages FILE is small enough to
+    # broadcast by size, but deserialized bodies made that a ~1 s serial
+    # hash-relation build per BFS level.) Above the cap — the 10^8-sitemap
+    # regime — the join falls back to Catalyst's plan.
+    worklist_broadcast_cap = 4_000_000
+    n_worklist = None  # unknown for the seed level; Observation-known after
     for depth in range(max_depth):
         if n_pending == 0:
             break
-        docs = worklist.join(pages, on="sitemap_url", how="inner").filter(
+        wl = worklist
+        if n_worklist is None or n_worklist <= worklist_broadcast_cap:
+            wl = F.broadcast(wl)
+        docs = wl.join(pages, on="sitemap_url", how="inner").filter(
             (F.col("http_code") == 200) | F.col("http_code").isNull()
         )
-        # spread documents across all cores BEFORE the parse UDF — the pages
-        # table is typically one parquet split, which would otherwise put
-        # the whole level's parse in a single task
+        # spread documents across all cores BEFORE the parse UDF — the
+        # pages table is typically ONE parquet row group, so the scan's
+        # nominal split count hides a single non-empty task (measured: a
+        # partition-count heuristic here collapsed the whole level's parse
+        # onto one core). The exchange moves compressed document bytes
+        # once and is the only robust way to give the parse real fan-out.
         par = spark.sparkContext.defaultParallelism
         parsed = parse_sitemaps(
             docs.select("sitemap_url", "content").repartition(par, "sitemap_url")
@@ -124,6 +141,7 @@ def expand_sitemap_tree(
             materialize
         )
         n_pending = int(obs.get["n"])
+        n_worklist = n_pending
         # processed stays lazy: built from checkpointed levels only, so its
         # lineage is one union per level (no extra materialization job)
         processed = processed.unionByName(worklist.select("sitemap_url"))
