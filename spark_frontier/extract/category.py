@@ -301,13 +301,27 @@ def _step34_kernel():
             codes, uniques = pd.factorize(
                 txts.iloc[rem], use_na_sentinel=False
             )
-            per_uniq = [score_text_py(u if isinstance(u, str) else "")
-                        for u in uniques]
+            # bounded per-worker memo: score_text_py is pure and costs
+            # ~0.3 ms (230 regex counts); the same caption texts recur
+            # across every Arrow batch of a wave
+            per_uniq = []
+            for u in uniques:
+                key = u if isinstance(u, str) else ""
+                hit = _SCORE_MEMO.get(key, False)
+                if hit is False:
+                    hit = score_text_py(key)
+                    if len(_SCORE_MEMO) >= 1 << 16:
+                        _SCORE_MEMO.clear()
+                    _SCORE_MEMO[key] = hit
+                per_uniq.append(hit)
             res = np.array(per_uniq, dtype=object)[codes]
             out[rem] = res
         return pd.Series(out, dtype=object)
 
     return _step34
+
+
+_SCORE_MEMO: dict = {}
 
 
 def content_text(title: Column, content: Column) -> Column:

@@ -37,7 +37,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from spark_frontier.frontier.priority import build_candidates
@@ -721,9 +721,16 @@ def _run_cycle_inner(
             # materialization barrier. Wave ≥ 2 checkpoints on entry instead.
             candidates_ckpt = False
         else:
-            candidates = candidates.transform(materialize)
+            # fuse the within-days count into the materialize job itself
+            # (Observation) instead of a separate count job — one fewer
+            # serial job + driver gap per cycle (pure serial tail at any
+            # core count)
+            obs_cand = Observation("candidates_n")
+            candidates = candidates.observe(
+                obs_cand, F.count(F.lit(1)).alias("n")
+            ).transform(materialize)
             candidates_ckpt = True
-            report.entries_within_days = candidates.count()
+            report.entries_within_days = int(obs_cand.get["n"] or 0)
         if collect_metrics:
             report.sitemap_entries_total = entries.count()
             report.robots_denied = with_robots.filter(
@@ -755,8 +762,6 @@ def _run_cycle_inner(
         # until re-discovered next cycle. Only VALID articles enter the seen
         # store (save_article_link runs after validation, :288-311).
         attempted = None  # lazy union of per-wave checkpointed url_key slices
-
-        from pyspark.sql import Observation
 
         # the fold for wave k stays LAZY until wave k+1 actually needs it —
         # the FINAL wave's fold is deferred to the next cycle's init

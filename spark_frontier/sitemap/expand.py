@@ -60,8 +60,10 @@ def expand_sitemap_tree(
         )
         .transform(materialize)
     )
-    # processed seen-set (tracker.py:49-51) — cycle safety
-    processed = worklist.select("sitemap_url").transform(materialize)
+    # processed seen-set (tracker.py:49-51) — cycle safety. Lazy: it only
+    # ever projects already-materialized worklists, so its own materialize
+    # was a pure extra job per cycle
+    processed = worklist.select("sitemap_url")
     results: list[DataFrame] = []
 
     n_pending = 1  # seeds are non-empty by construction
