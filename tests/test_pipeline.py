@@ -380,3 +380,47 @@ def test_cuckoo_seen_filter_matches_bloom_and_deletes_on_ttl(
         h["snapshot_id"] for h in st.table("links").history()
     ]
     assert st.table("links").read(spark).count() == n_readmit
+
+
+def test_first_per_key_matches_window(spark):
+    """first_per_key (min-struct dedupe) == row_number window, including
+    cross-site duplicates where the deeper level of the LOWER site_seq
+    must win over the shallower level of a higher site_seq."""
+    from pyspark.sql import Window
+
+    from spark_frontier.pipeline.crawl import first_per_key
+
+    rows = [
+        # url_key 1: site_seq decides (2@depth1 vs 1@depth2 -> seq 1 wins)
+        (1, 2, 1, [0], 5, "a-seq2-d1", None),
+        (1, 1, 2, [0, 3], 1, "a-seq1-d2", "t1"),
+        # url_key 2: same site, depth decides
+        (2, 1, 1, [0], 9, "b-d1", None),
+        (2, 1, 2, [0, 1], 0, "b-d2", "t2"),
+        # url_key 3: same site+depth, path array decides lexicographically
+        (3, 3, 1, [2, 1], 4, "c-p21", None),
+        (3, 3, 1, [2], 7, "c-p2", None),
+        # url_key 4: only sitemap_pos differs
+        (4, 3, 1, [2], 1, "d-pos1", "t4"),
+        (4, 3, 1, [2], 3, "d-pos3", None),
+        # url_key 5: singleton passes through
+        (5, 9, 4, [1, 1, 1], 2, "e", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url_key long, site_seq int, depth int, path array<long>, "
+        "sitemap_pos long, url string, title string",
+    )
+    w = Window.partitionBy("url_key").orderBy(
+        "site_seq", "depth", "path", "sitemap_pos"
+    )
+    expected = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got = first_per_key(df)
+    assert got.columns == df.columns
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    assert got.count() == 5
