@@ -376,16 +376,22 @@ def run_corpus_filter(
         summary={"op": "corpus_filter", "capacity": pack_capacity,
                  "n_sequences": report["n_sequences"]},
     )
-    log_row = [(report["batch_ts"], report["n_input"], report["n_kept"],
-                report["n_sequences"])]
-    store.table("corpus_log").append(
-        spark.createDataFrame(
-            log_row, "batch_ts string, n_input long, n_kept long, "
-                     "n_sequences long"
-        ),
+    # driver-local one-row commit (append_local): a Spark job for a
+    # single log row is ~1.3 s of pure scheduling overhead per funnel
+    # run at ANY core count — the same fixed-tail cut the crawl cycle's
+    # crawl_logs lane already uses
+    import pandas as _pd
+
+    log_pdf = _pd.DataFrame({
+        "batch_ts": [report["batch_ts"]],
+        "n_input": _pd.array([report["n_input"]], dtype="int64"),
+        "n_kept": _pd.array([report["n_kept"]], dtype="int64"),
+        "n_sequences": _pd.array([report["n_sequences"]], dtype="int64"),
+    })
+    store.table("corpus_log").append_local(
+        log_pdf,
         summary={"op": "corpus_filter_log", **{
             k: v for k, v in report.items() if isinstance(v, int)}},
-        small=True,
     )
     _tick("commit")
     return report
