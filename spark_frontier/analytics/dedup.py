@@ -954,16 +954,22 @@ def dedup_clusters(
     # in-repo producer emits unique pairs anyway. The old defensive
     # distinct was a full extra shuffle of the edge list (9 M rows on
     # the corpus funnel).
-    edges = ea.unionByName(eb).transform(materialize)
+    from pyspark.sql import Observation as _Obs
 
-    # size gate in ONE job: a limited collect replaces count()+collect()
-    # — when the graph is small (the common dedup shape) the rows are
-    # already in hand; at threshold+1 rows we stop and go distributed
-    # (the over-limit collect reads ≤ ~threshold × 16 B from the
-    # checkpoint, bounded regardless of graph size)
-    gate_rows = edges.limit(driver_edge_threshold + 1).collect()
-    if len(gate_rows) <= driver_edge_threshold:
-        out = _driver_components(edges, rows=gate_rows)
+    # size gate rides the edges materialize as an Observation: the count
+    # is known the moment the checkpoint job finishes, so the distributed
+    # branch pays NO extra gate job (the old limited collect read
+    # ~threshold × 16 B in its own job before every large-graph run).
+    # The driver branch still collects — but only after the gate says the
+    # rows fit, and that collect replaces the old gate collect 1:1.
+    obs_e = _Obs()
+    edges = (
+        ea.unionByName(eb)
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
+        .transform(materialize)
+    )
+    if int(obs_e.get["n"] or 0) <= driver_edge_threshold:
+        out = _driver_components(edges, rows=edges.collect())
         if vertices is not None:
             out = (
                 vertices.select("doc_id").distinct()
